@@ -1,0 +1,77 @@
+"""Plain-pytree MLPs for the renderer heads.
+
+The reference's heads are small ``nn.Sequential`` ReLU stacks (RadianceNet /
+TonemapNet / BRDFNet / EmissionNet, ``app/utils/pbr/module.py:6-83``; the
+coarse color heads at ``voxurfc.py:125-145``). Here a head is just a dict
+``{"w0","b0","w1","b1",...}``; ``apply`` runs the matmuls in a configurable
+compute dtype (bf16 on the MXU) with fp32 master params.
+
+Init matches ``torch.nn.Linear`` defaults — kaiming_uniform(a=√5), i.e.
+``U(-1/√fan_in, 1/√fan_in)`` for both weight and bias — so that training
+dynamics track the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+MLPParams = Dict[str, jnp.ndarray]
+
+
+def init_mlp(
+    key: jax.Array,
+    dims: Sequence[int],
+    zero_final_bias: bool = False,
+    dtype=jnp.float32,
+) -> MLPParams:
+    """dims = [in, hidden..., out]."""
+    params: MLPParams = {}
+    n_layers = len(dims) - 1
+    keys = jax.random.split(key, n_layers * 2)
+    for i in range(n_layers):
+        fan_in = dims[i]
+        bound = 1.0 / jnp.sqrt(fan_in)
+        params[f"w{i}"] = jax.random.uniform(
+            keys[2 * i], (dims[i], dims[i + 1]), dtype, -bound, bound
+        )
+        if zero_final_bias and i == n_layers - 1:
+            params[f"b{i}"] = jnp.zeros((dims[i + 1],), dtype)
+        else:
+            params[f"b{i}"] = jax.random.uniform(
+                keys[2 * i + 1], (dims[i + 1],), dtype, -bound, bound
+            )
+    return params
+
+
+def n_layers(params: MLPParams) -> int:
+    return sum(1 for k in params if k.startswith("w"))
+
+
+def apply_mlp(
+    params: MLPParams,
+    x: jnp.ndarray,
+    final_activation=None,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """ReLU MLP; optional final activation; optional bf16 compute."""
+    L = n_layers(params)
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    for i in range(L):
+        w, b = params[f"w{i}"], params[f"b{i}"]
+        if compute_dtype is not None:
+            w = w.astype(compute_dtype)
+            b = b.astype(compute_dtype)
+        x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b.astype(jnp.float32)
+        if i < L - 1:
+            x = jax.nn.relu(x)
+        if compute_dtype is not None and i < L - 1:
+            x = x.astype(compute_dtype)
+    x = x.astype(out_dtype)
+    if final_activation is not None:
+        x = final_activation(x)
+    return x

@@ -1,0 +1,172 @@
+"""Transmittance scans and NeuS-style alpha computation on dense [N, S]
+layouts.
+
+Replaces the reference's ``Alphas2Weights`` CUDA forward/backward scan
+(``render_utils_kernel.cu:576-707``) with cumulative products whose backward
+falls out of autodiff, and the per-point NeuS alpha functions
+(``app/utils/base/functions.py:45-105``) with masked dense equivalents.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+EARLY_EXIT_T = 1e-3  # CUDA parity: stop marching once transmittance < 1e-3
+
+
+def exclusive_cumprod(p: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """[1, p0, p0*p1, ...] along ``axis`` (same length as input)."""
+    cp = jnp.cumprod(p, axis=axis)
+    ones = jnp.ones_like(jnp.take(cp, jnp.array([0]), axis=axis))
+    shifted = jnp.concatenate(
+        [ones, jnp.take(cp, jnp.arange(p.shape[axis] - 1), axis=axis)], axis=axis
+    )
+    return shifted
+
+
+def ray_marching_weights_dvgo(alpha: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DVGO python-path weights (reference ``dvgo.py:280-288``):
+    ``alphainv_cum = [1, cumprod(clamp(1-alpha, 1e-10))]`` (S+1 long),
+    ``weights = alpha * alphainv_cum[..., :-1]``.
+    """
+    one_m = jnp.clip(1.0 - alpha, a_min=1e-10)
+    cum = jnp.cumprod(one_m, axis=-1)
+    alphainv_cum = jnp.concatenate([jnp.ones_like(alpha[..., :1]), cum], axis=-1)
+    weights = alpha * alphainv_cum[..., :-1]
+    return weights, alphainv_cum
+
+
+def alpha2weights(
+    alpha: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    early_exit: float | None = EARLY_EXIT_T,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense masked equivalent of ``alpha2weight_cuda``
+    (``render_utils_kernel.cu:576-651``).
+
+    alpha: [N, S]; mask: [N, S] validity (invalid -> alpha treated as 0).
+    Returns ``(weights [N,S], alphainv_last [N])``.
+
+    Early-exit semantics match the CUDA scan: a sample is processed iff the
+    transmittance *entering* it is >= ``early_exit``; the first sample that
+    drives T below the threshold still receives weight, later samples get 0
+    and ``alphainv_last`` freezes at the break value. The exit mask is
+    stop-gradiented, after which autodiff reproduces the reference's
+    hand-written backward on the live region.
+    """
+    if mask is not None:
+        alpha = jnp.where(mask, alpha, 0.0)
+    if early_exit is not None:
+        T_in = exclusive_cumprod(1.0 - alpha)
+        live = jax.lax.stop_gradient(T_in) >= early_exit
+        alpha = jnp.where(live, alpha, 0.0)
+    T_in = exclusive_cumprod(1.0 - alpha)
+    weights = alpha * T_in
+    alphainv_last = T_in[..., -1] * (1.0 - alpha[..., -1])
+    return weights, alphainv_last
+
+
+def _fill_next_valid(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """For each position s, the value of ``x`` at the next valid position
+    t > s along the last axis (same ray); positions with no later valid
+    neighbor keep their own value.
+
+    Used to reproduce the ragged neighbor pairing of the reference's
+    interp-variant NeuS alpha, where masked-out samples are *removed* so a
+    point's "next" neighbor can skip over holes
+    (``functions.py:72-105`` operates on the compacted list).
+    """
+    # Reverse scan: next_val[s] = x[s+1] if mask[s+1] else next_val[s+1]
+    x_rev = jnp.flip(x, axis=-1)
+    m_rev = jnp.flip(mask, axis=-1)
+
+    def body(carry, inp):
+        val, ok = inp  # current (reversed) element
+        nxt_val, nxt_ok = carry
+        out = (jnp.where(nxt_ok, nxt_val, val), nxt_ok)
+        new_carry = (jnp.where(ok, val, nxt_val), ok | nxt_ok)
+        return new_carry, out
+
+    init = (
+        jnp.zeros(x.shape[:-1], x.dtype),
+        jnp.zeros(mask.shape[:-1], dtype=bool),
+    )
+    _, (vals, oks) = jax.lax.scan(
+        body, init, (jnp.moveaxis(x_rev, -1, 0), jnp.moveaxis(m_rev, -1, 0))
+    )
+    vals = jnp.flip(jnp.moveaxis(vals, 0, -1), axis=-1)
+    oks = jnp.flip(jnp.moveaxis(oks, 0, -1), axis=-1)
+    return jnp.where(oks, vals, x), oks
+
+
+def neus_alpha_interp(
+    sdf: jnp.ndarray, mask: jnp.ndarray, s_val: float | jnp.ndarray
+) -> jnp.ndarray:
+    """Dense masked equivalent of ``neus_alpha_from_sdf_scatter_interp``
+    (``functions.py:72-105``).
+
+    For each valid sample, the section is estimated by the midpoint with the
+    *next valid* sample on the same ray (holes skipped, matching the ragged
+    compaction); the last valid sample of a ray pairs with itself. Same for
+    the previous-side estimate.
+
+    sdf, mask: [N, S]. Returns alpha [N, S] (0 at invalid samples).
+    """
+    nxt, has_next = _fill_next_valid(sdf, mask)
+    # prev side: mirror trick on the flipped axis
+    prv_rev, has_prev_rev = _fill_next_valid(
+        jnp.flip(sdf, axis=-1), jnp.flip(mask, axis=-1)
+    )
+    prv = jnp.flip(prv_rev, axis=-1)
+    has_prev = jnp.flip(has_prev_rev, axis=-1)
+
+    est_next = jnp.where(has_next, 0.5 * (sdf + nxt), sdf)
+    est_prev = jnp.where(has_prev, 0.5 * (sdf + prv), sdf)
+
+    prev_cdf = jax.nn.sigmoid(est_prev * s_val)
+    next_cdf = jax.nn.sigmoid(est_next * s_val)
+    p = jax.nn.relu(prev_cdf - next_cdf)
+    alpha = jnp.clip((p + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+    return jnp.where(mask, alpha, 0.0)
+
+
+def neus_alpha_grad(
+    sdf: jnp.ndarray,
+    gradients: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    dist: float | jnp.ndarray,
+    mask: jnp.ndarray,
+    s_val: float | jnp.ndarray,
+) -> jnp.ndarray:
+    """Dense equivalent of ``neus_alpha_from_sdf_scatter_grad``
+    (``functions.py:45-69``): section endpoints estimated from the SDF
+    gradient projected on the (broadcast) view direction.
+
+    sdf [N,S], gradients [N,S,3], viewdirs [N,3] or [N,S,3].
+    """
+    if viewdirs.ndim == 2:
+        viewdirs = viewdirs[:, None, :]
+    iter_cos = (viewdirs * gradients).sum(-1) * dist * 0.5  # [N,S]
+    est_next = sdf + iter_cos
+    est_prev = sdf - iter_cos
+    prev_cdf = jax.nn.sigmoid(est_prev * s_val)
+    next_cdf = jax.nn.sigmoid(est_next * s_val)
+    p = jax.nn.relu(prev_cdf - next_cdf)
+    alpha = jnp.clip((p + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+    return jnp.where(mask, alpha, 0.0)
+
+
+def segment_mean(values: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """Weighted per-ray reduction: sum over S of ``weights * values``.
+
+    Dense replacement for the reference's ``segment_coo(..., reduce='sum')``
+    calls (e.g. ``voxurfc.py:253-265``): with the dense layout the ragged
+    segment reduce becomes a masked sum along the sample axis.
+    values: [N, S, C] or [N, S]; weights: [N, S].
+    """
+    if values.ndim == weights.ndim + 1:
+        weights = weights[..., None]
+    return (weights * values).sum(axis=-2 if values.ndim == 3 else -1)
