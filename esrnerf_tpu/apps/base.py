@@ -1,0 +1,164 @@
+"""Stage-trainer base class.
+
+Mirrors the reference app contract (``app/__init__.py:6-39``): a stage owns
+``load_dataset() / load_model() / process()`` plus its train loop, losses,
+eval, and checkpointing. Shared here: checkpoint path resolution (resume
+first, then explicit ckpt, then previous-stage handoff), the eval artifact
+layout (``text/ image/ video/ mesh/`` under the log dir,
+reference ``alphamask.py:330-337``), and media writing.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from esrnerf_tpu.utils.logging import Logger, tqdm_safe
+
+
+def import_class(class_path: str) -> Any:
+    module_name, cls_name = class_path.rsplit(".", 1)
+    module = __import__(module_name, fromlist=[cls_name])
+    return getattr(module, cls_name)
+
+
+class AppClass:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.phase = cfg.app["phase"]
+        self.white_bg = float(cfg.data["white_bg"])
+        self.global_step = int(cfg.get("global_step", 0))
+        self.logger: Optional[Logger] = None
+
+    # -------------------------------------------------------------- contract
+
+    def load_dataset(self) -> None:
+        raise NotImplementedError
+
+    def load_model(self) -> None:
+        raise NotImplementedError
+
+    def process(self) -> None:
+        raise NotImplementedError
+
+    # --------------------------------------------------------------- helpers
+
+    @property
+    def pretty_global_step(self) -> str:
+        return f"{self.global_step:010}"
+
+    def get_logger(self) -> Logger:
+        if self.logger is None:
+            self.logger = Logger(self.cfg)
+        return self.logger
+
+    def ckpt_dir(self) -> str:
+        """Checkpoint dir + the ``checkpoints`` symlink in the log dir
+        (reference ``fine.py:321-327``)."""
+        link = os.path.join(self.cfg.log["dir"], "checkpoints")
+        real = os.path.abspath(self.cfg.log["ckpt_dir"])
+        os.makedirs(real, exist_ok=True)
+        if not os.path.exists(link):
+            os.makedirs(os.path.dirname(link), exist_ok=True)
+            try:
+                os.symlink(real, link, target_is_directory=True)
+            except OSError:
+                pass
+        return real
+
+    def resolve_train_ckpt(self) -> tuple:
+        """(ckpt_path or None, is_resume): resume from this run's last.ckpt
+        first, else the configured trainer ckpt (reference
+        ``alphamask.py:81-98``)."""
+        last = os.path.join(self.cfg.log["dir"], "checkpoints", "last.ckpt")
+        if os.path.exists(last):
+            return last, True
+        cand = self.cfg.app["trainer"].get("ckpt")
+        if cand and os.path.exists(cand):
+            return cand, False
+        return None, False
+
+    def resolve_eval_ckpt(self) -> str:
+        """Explicit eval ckpt, else the last.ckpt next to the config file
+        the run was started from (reference ``alphamask.py:185-196``)."""
+        ckpt = self.cfg.app["eval"].get("ckpt")
+        if ckpt is None:
+            cn = self.cfg.get("__config_name__", "")
+            ckpt = str(os.path.join(os.path.dirname(cn), "checkpoints", "last.ckpt"))
+        if not os.path.exists(ckpt):
+            raise FileNotFoundError(f"wrong ckpt path: {ckpt}")
+        return ckpt
+
+    def eval_dirs(self) -> Dict[str, str]:
+        dirs = {}
+        for kind in ("text", "image", "video", "mesh"):
+            d = os.path.join(self.cfg.log["dir"], kind, self.pretty_global_step)
+            os.makedirs(d, exist_ok=True)
+            dirs[kind] = d
+        return dirs
+
+    def eval_img_idxes(self, n_images: int, N_vis: int) -> np.ndarray:
+        """Reference image subsampling (``alphamask.py:339-351``)."""
+        if N_vis > 0:
+            interval = max(1, n_images // math.ceil(N_vis / 2))
+            return np.sort(
+                np.concatenate(
+                    [np.arange(0, n_images, interval), np.arange(1, n_images, interval)]
+                )
+            )
+        return np.arange(0, n_images)
+
+    def save_renders(
+        self,
+        dirs: Dict[str, str],
+        renders: Dict[str, List[np.ndarray]],
+        metrics: Dict[str, List[float]],
+    ) -> None:
+        """PNG per image per key, mp4 per key, mean.txt — the reference's
+        artifact layout (``alphamask.py:415-446``)."""
+        import imageio.v2 as imageio
+
+        for k, v in renders.items():
+            rdir = os.path.join(dirs["image"], *k.split("/"))
+            os.makedirs(rdir, exist_ok=True)
+            for i, img in enumerate(v):
+                imageio.imwrite(os.path.join(rdir, f"{i:03d}.png"), img)
+
+        for k, v in renders.items():
+            parts = k.split("/")
+            vdir = os.path.join(dirs["video"], *parts[:-1])
+            os.makedirs(vdir, exist_ok=True)
+            try:
+                imageio.mimwrite(
+                    os.path.join(vdir, f"{parts[-1]}.mp4"), v, fps=30,
+                    codec="h264", quality=10,
+                )
+            except Exception:  # h264 encoder may be absent; fall back to gif
+                imageio.mimwrite(os.path.join(vdir, f"{parts[-1]}.gif"), v, fps=30)
+
+        with open(os.path.join(dirs["text"], "mean.txt"), "w") as f:
+            ks = sorted(metrics.keys())
+            f.write(
+                "Image metrics: \n"
+                + ", ".join(f"{k}: {float(np.mean(metrics[k]))}" for k in ks)
+                + "\n"
+            )
+            n = len(next(iter(metrics.values()))) if metrics else 0
+            for i in range(n):
+                f.write(
+                    f"Index {i}, "
+                    + ", ".join(f"{k}: {float(metrics[k][i])}" for k in ks)
+                    + "\n"
+                )
+
+    def log_eval(self, prefix: str, metrics: Dict[str, List[float]]) -> None:
+        logs = {
+            prefix + "metric/" + k: float(np.mean(v)) for k, v in metrics.items()
+        }
+        self.get_logger().log(logs, step=self.global_step)
+
+    def tqdm(self, it, **kw):
+        return tqdm_safe(it, self.cfg, **kw)
