@@ -1,0 +1,106 @@
+"""Golden-step integration: the stage chain on the synthetic scene
+(alphamask -> coarse -> ...), each stage consuming the previous stage's
+checkpoint exactly like the reference pipeline (README.md:32)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from esrnerf_tpu.config import customize_cfg, load_cfg
+from esrnerf_tpu.data.synthetic import write_scene
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="session")
+def scene_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth_data_pipe"))
+    write_scene(root, wh=40, n_train=8, n_test=2)
+    return root
+
+
+def stage_cfg(stage, scene_root, logdir, n_iters, extra=()):
+    overrides = [
+        "app.phase=train",
+        f"data.root={scene_root}",
+        "data.scene=synth_ball",
+        f"app.trainer.n_iters={n_iters}",
+        f"app.trainer.vis_every={n_iters}",
+        f"app.trainer.save_every={n_iters}",
+        "app.trainer.N_vis=1",
+        f"log.dir={logdir}/{stage}",
+        f"log.ckpt_dir={logdir}/{stage}_ckpt",
+        "system.debug=true",
+        *extra,
+    ]
+    cfg = load_cfg(f"cfg/exp/esrnerf/giftbox_w/{stage}.yaml", overrides,
+                   root_dir=REPO)
+    return customize_cfg(cfg)
+
+
+def train_psnrs(cfg):
+    recs = [json.loads(l) for l in open(
+        os.path.join(cfg.log["dir"], "metrics.jsonl"))]
+    return [r["train/metric/srgb/PSNR"] for r in recs
+            if "train/metric/srgb/PSNR" in r]
+
+
+def test_alphamask_then_coarse(scene_root, tmp_path):
+    logdir = str(tmp_path)
+
+    # ---- stage 1
+    from esrnerf_tpu.apps.alphamask import AlphaMask
+
+    cfg1 = stage_cfg("alphamask", scene_root, logdir, 120, extra=[
+        "app.model.num_voxels=8000", "app.trainer.batch_size=256",
+    ])
+    a1 = AlphaMask(cfg1)
+    a1.load_dataset(); a1.load_model(); a1.process()
+    ckpt1 = os.path.join(cfg1.log["dir"], "checkpoints", "last.ckpt")
+    assert os.path.exists(ckpt1)
+
+    # ---- stage 2, warm-started from stage 1
+    from esrnerf_tpu.apps.coarse import Coarse
+
+    cfg2 = stage_cfg("coarse", scene_root, logdir, 120, extra=[
+        "app.model.num_voxels=27000", "app.trainer.batch_size=256",
+        f"app.trainer.ckpt={ckpt1}",
+    ])
+    a2 = Coarse(cfg2)
+    a2.load_dataset(); a2.load_model(); a2.process()
+
+    psnrs = train_psnrs(cfg2)
+    assert psnrs[-1] > psnrs[0], (psnrs[0], psnrs[-1])
+    assert psnrs[-1] > 13, psnrs
+
+    # bbox was shrunk from the alphamask density
+    assert (np.asarray(a2.renderer.geo.xyz_max)
+            <= np.asarray(a1.renderer.xyz_max) + 1e-3).all()
+
+    # mesh artifact from eval
+    mesh_path = os.path.join(
+        cfg2.log["dir"], "mesh", a2.pretty_global_step, "mesh.ply"
+    )
+    assert os.path.exists(mesh_path)
+    from esrnerf_tpu.utils.mesh import load_ply
+
+    verts, _ = load_ply(mesh_path)
+    assert len(verts) > 50
+    # surface should hug the two unit-scale balls
+    r = np.linalg.norm(verts, axis=-1)
+    assert r.max() < 1.5
+
+    # ---- coarse resume from its own ckpt
+    cfg2b = stage_cfg("coarse", scene_root, logdir, 140, extra=[
+        "app.model.num_voxels=27000", "app.trainer.batch_size=256",
+        f"app.trainer.ckpt={ckpt1}",
+    ])
+    cfg2b.log["dir"] = cfg2.log["dir"]
+    cfg2b.log["ckpt_dir"] = cfg2.log["ckpt_dir"]
+    a2b = Coarse(cfg2b)
+    a2b.load_dataset(); a2b.load_model()
+    assert a2b.global_step == 120
+    a2b.process()
+    assert a2b.global_step == 139
