@@ -180,11 +180,15 @@ class VoxurfGeometry:
         neus_alpha: str = "interp",
         gradient_grid: Optional[jnp.ndarray] = None,
         k_budget: Optional[int] = None,
+        style: str = "coarse",
     ) -> March:
-        """Dense NeuS march + weight-threshold rescan + compaction.
+        """Dense NeuS march + threshold filtering + compaction.
 
-        Reproduces voxurfc.py:195-219: maskcache skip, NeuS alpha, scan,
-        ``weights > fastcolor_thres`` filter, re-scan on survivors.
+        style="coarse" reproduces voxurfc.py:195-219: maskcache skip, NeuS
+        alpha, scan, ``weights > fastcolor_thres`` filter, re-scan on the
+        survivors. style="fine" reproduces voxurff.py:186-213: an
+        ``alpha > fastcolor_thres`` pre-filter before the scan, then a
+        ``weights > fastcolor_thres`` filter *without* re-scan.
         """
         N = rays_o.shape[0]
         S = self.n_samples
@@ -206,10 +210,18 @@ class VoxurfGeometry:
         else:
             alpha = renderops.neus_alpha_interp(sdf, mask, s_val)
 
-        weights1, _ = renderops.alpha2weights(alpha, mask)
-        keep = weights1 > fastcolor_thres
-        alpha2 = jnp.where(keep, alpha, 0.0)
-        weights, alphainv_last = renderops.alpha2weights(alpha2, keep)
+        if style == "fine":
+            pre = mask & (alpha > fastcolor_thres)
+            alpha1 = jnp.where(pre, alpha, 0.0)
+            weights1, alphainv_last = renderops.alpha2weights(alpha1, pre)
+            keep = weights1 > fastcolor_thres
+            alpha2 = jnp.where(keep, alpha1, 0.0)
+            weights = jnp.where(keep, weights1, 0.0)  # no re-scan
+        else:
+            weights1, _ = renderops.alpha2weights(alpha, mask)
+            keep = weights1 > fastcolor_thres
+            alpha2 = jnp.where(keep, alpha, 0.0)
+            weights, alphainv_last = renderops.alpha2weights(alpha2, keep)
 
         # ---- compaction to the static K budget
         flat_keep = keep.reshape(-1)
@@ -241,14 +253,81 @@ class VoxurfGeometry:
             w * values, march.ray_id, num_segments=march.n_rays + 1
         )[: march.n_rays]
 
+    # ------------------------------------- multi-scale SDF features/normals
+
+    def sample_sdfeat_grad_normal(
+        self, sdf_grid: jnp.ndarray, pts: jnp.ndarray, displace
+    ):
+        """Displaced 6-neighbor SDF taps + finite-difference gradients +
+        normalized normals (reference ``sample_sdfeat_grad_normal``,
+        voxurff.py:678-721).
+
+        For each displacement d, samples the SDF at +-d voxels along each
+        axis (indices clamped to the grid), giving per-point features
+        [M, 6*D] (offset-major: -z,+z,-y,+y,-x,+x per the reference's zyx
+        index convention), gradients [M, 3*D] in (z,y,x) component order,
+        and per-displacement normalized normals [M, 3*D].
+        """
+        displace = jnp.asarray(displace, jnp.float32)
+        D = displace.shape[0]
+        X, Y, Z = sdf_grid.shape[:3]
+        size = jnp.asarray([X, Y, Z], jnp.float32)
+
+        ind = gridops.normalized_index(
+            pts, jnp.asarray(self.xyz_min), jnp.asarray(self.xyz_max), (X, Y, Z)
+        )  # [M,3] xyz index space
+
+        # offsets in xyz index space, ordered to match the reference's
+        # zyx-major layout: axis z first, then y, then x
+        base = jnp.asarray(
+            [[0, 0, -1], [0, 0, 1], [0, -1, 0], [0, 1, 0], [-1, 0, 0], [1, 0, 0]],
+            jnp.float32,
+        )  # [6,3]
+        offset = base[:, None, :] * displace[None, :, None]  # [6,D,3]
+        all_ind = ind[:, None, None, :] + offset[None]  # [M,6,D,3]
+        all_ind = jnp.clip(all_ind, 0.0, size - 1.0)
+
+        zero = jnp.zeros(3, jnp.float32)
+        top = size - 1.0
+        feat = gridops.grid_sample_3d(
+            sdf_grid, all_ind, zero, top, mode="border"
+        )[..., 0]  # [M,6,D]
+
+        # actual (clamped) index distance along the displaced axis
+        diff = (all_ind[:, 1::2] - all_ind[:, 0::2]).max(-1)  # [M,3,D]
+        feat_diff = feat[:, 1::2] - feat[:, 0::2]  # [M,3,D]
+        grad = feat_diff / diff / self.voxel_size  # (z,y,x) order
+        normal = grad / jnp.maximum(
+            jnp.linalg.norm(grad, axis=1, keepdims=True), 1e-12
+        )
+
+        M = pts.shape[0]
+        return (
+            feat.reshape(M, 6 * D),
+            grad.reshape(M, 3 * D),
+            normal.reshape(M, 3 * D),
+        )
+
+    def sample_sdf_grad(self, sdf_grid: jnp.ndarray, pts: jnp.ndarray):
+        """SDF value + xyz-ordered 1-voxel finite-difference gradient
+        (reference ``sample_sdf_grad``, voxurff.py:670-676)."""
+        sdf = self.sample_grid(sdf_grid, pts)[..., 0]
+        _, grad, _ = self.sample_sdfeat_grad_normal(
+            sdf_grid, pts, jnp.asarray([1.0])
+        )
+        grad_xyz = jnp.stack([grad[:, 2], grad[:, 1], grad[:, 0]], axis=-1)
+        return sdf, grad_xyz
+
     # -------------------------------------------------- training-ray filter
 
     def filter_rays_in_maskcache(
-        self, rays_o: np.ndarray, rays_d: np.ndarray, chunk: int
+        self, rays_o: np.ndarray, rays_d: np.ndarray, chunk: int,
+        style: str = "dvgo",
     ) -> np.ndarray:
         """Keep rays whose samples hit the mask cache at least once
         (reference ``filter_training_rays_in_maskcache_sampling``,
-        voxurfc.py:425-446, using the DVGO-style sampler)."""
+        voxurfc.py:425-446 DVGO-style sampler; voxurff.py:479-494 uses the
+        voxurf far=1e9 sampler when the SDF was warm-started)."""
         n_samples = (
             int(np.linalg.norm(np.asarray(self.world_size) + 1) / self.stepsize)
             + 1
@@ -256,11 +335,19 @@ class VoxurfGeometry:
 
         @jax.jit
         def chunk_mask(ro, rd):
-            pts, outb = rayops.sample_rays_dvgo(
-                ro, rd, jnp.asarray(self.xyz_min), jnp.asarray(self.xyz_max),
-                self.near, self.far, self.stepsize, self.voxel_size, n_samples,
-            )
-            ok = ~outb & self.mask_cache.query(pts)
+            if style == "voxurf":
+                rs = rayops.sample_rays_dense(
+                    ro, rd, jnp.asarray(self.xyz_min), jnp.asarray(self.xyz_max),
+                    self.near, 1e9, self.stepdist, self.n_samples,
+                )
+                ok = rs.valid & self.mask_cache.query(rs.pts)
+            else:
+                pts, outb = rayops.sample_rays_dvgo(
+                    ro, rd, jnp.asarray(self.xyz_min), jnp.asarray(self.xyz_max),
+                    self.near, self.far, self.stepsize, self.voxel_size,
+                    n_samples,
+                )
+                ok = ~outb & self.mask_cache.query(pts)
             return ok.any(-1)
 
         out = np.ones(len(rays_o), dtype=bool)

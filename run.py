@@ -40,6 +40,15 @@ def main(argv=None) -> None:
 
     cfg = load_cfg(args.config_name, args.overrides)
     cfg = customize_cfg(cfg)
+
+    # make system.device authoritative: the environment's sitecustomize pins
+    # the remote TPU platform via env var before we run, so the env route
+    # (JAX_PLATFORMS=cpu) is overridden — go through jax.config instead
+    import jax
+
+    device = str(cfg.system.get("device", "tpu")).lower()
+    if device.startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(cfg.log["dir"], exist_ok=True)
     save_cfg(cfg)
 

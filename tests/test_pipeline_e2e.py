@@ -92,6 +92,28 @@ def test_alphamask_then_coarse(scene_root, tmp_path):
     r = np.linalg.norm(verts, axis=-1)
     assert r.max() < 1.5
 
+    # ---- stage 3 (fine), warm-started from coarse, with one pg-scale step
+    from esrnerf_tpu.apps.fine import Fine
+
+    ckpt2 = os.path.join(cfg2.log["dir"], "checkpoints", "last.ckpt")
+    cfg3 = stage_cfg("fine", scene_root, logdir, 120, extra=[
+        "app.trainer.num_voxels=64000", "app.trainer.batch_size=256",
+        "app.trainer.pg_scale=[60]", "app.trainer.scale_ratio=2.0",
+        f"app.trainer.ckpt={ckpt2}",
+    ])
+    a3 = Fine(cfg3)
+    a3.load_dataset(); a3.load_model(); a3.process()
+
+    psnrs3 = train_psnrs(cfg3)
+    assert psnrs3[-1] > 13, psnrs3
+    # grid actually scaled at the pg boundary
+    assert a3.renderer.num_voxels == 64000
+    # linear HDR eval against the EXR ground truth was computed
+    recs = [json.loads(l) for l in open(
+        os.path.join(cfg3.log["dir"], "metrics.jsonl"))]
+    exr_keys = [r for r in recs if any("MSE_EXR" in k for k in r)]
+    assert exr_keys, "lin/MSE_EXR_* metrics missing"
+
     # ---- coarse resume from its own ckpt
     cfg2b = stage_cfg("coarse", scene_root, logdir, 140, extra=[
         "app.model.num_voxels=27000", "app.trainer.batch_size=256",
