@@ -1,0 +1,132 @@
+"""Benchmark: fine-stage training throughput (the reference's primary
+workload — 20k iterations x 8192 rays on the 16.7M-voxel grid,
+cfg/app/fine.yaml:41-52).
+
+Prints ONE JSON line:
+  {"metric": "fine_train_rays_per_sec", "value": N, "unit": "rays/s",
+   "vs_baseline": N / 25000}
+
+Baseline: the reference single-GPU fine stage runs 8192-ray steps at
+~25k rays/s (20k iters in a multi-hour run on one CUDA GPU); BASELINE.md
+sets the target as >=10x a torch-CPU port, which is far below this — we
+compare against the tougher GPU-like number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from esrnerf_tpu.config import load_cfg
+    from esrnerf_tpu.models.voxurf_base import make_mask_cache
+    from esrnerf_tpu.models.voxurff import VoxurfF
+    from esrnerf_tpu.optim import Adam
+    from esrnerf_tpu.ops.image import apply_gamma_curve
+
+    num_voxels = int(os.environ.get("BENCH_NUM_VOXELS", 16777216))
+    batch = int(os.environ.get("BENCH_BATCH", 8192))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    warmup = 3
+
+    cfg = load_cfg(
+        "cfg/app/fine.yaml",
+        [
+            "app.phase=train",
+            "data.cls=esrnerf.ESRNeRF", "data.root=unused", "data.scene=unused",
+        ],
+        root_dir=REPO,
+    )
+
+    rng = np.random.default_rng(0)
+    # occupancy blob (ball shell) as the previous-stage mask
+    g = np.linspace(-1, 1, 64)
+    xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+    r = np.sqrt(xx**2 + yy**2 + zz**2)
+    density = np.where(r < 0.7, 20.0, -20.0).astype(np.float32)[..., None]
+    mask_cache = make_mask_cache(density, [-1, -1, -1], [1, 1, 1], 1e-6, 1e-3, 3)
+
+    model = VoxurfF(cfg, 0.5, 4.0, [-1, -1, -1], [1, 1, 1], mask_cache,
+                    s_val=80.0, num_voxels=num_voxels)
+    params = model.init_params(jax.random.PRNGKey(0))
+    # realistic SDF: the unit-ball init already gives a surface to march
+
+    opt = Adam({k: 1e-2 for k in params})
+    opt_state = opt.init(params)
+
+    lrs = {k: jnp.float32(1.0) for k in params}
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, ro, rd, vd, em, rgbs, s_val):
+        def loss_fn(p):
+            res = model.forward_training(p, ro, rd, vd, em, s_val)
+            srgb = jnp.clip(res["srgb/rgb"] + res["etc/white_bg"], 0, 1)
+            loss = ((srgb - rgbs) ** 2).mean()
+            lin = jnp.clip(res["lin/rgb"], 0, None)
+            lin_tone = jnp.where(rgbs >= 1, jnp.clip(lin, None, 1.0), lin)
+            loss += 0.1 * ((apply_gamma_curve(lin_tone) - rgbs) ** 2).mean()
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = opt.step(params, grads, opt_state, lr_scales=lrs)
+        return params, opt_state, loss
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        o = r.normal(size=(batch, 3)).astype(np.float32)
+        o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2.0
+        tgt = r.normal(scale=0.3, size=(batch, 3)).astype(np.float32)
+        d = (tgt - o).astype(np.float32)
+        vd = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        return (
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(vd),
+            jnp.asarray(r.integers(0, 2, batch)),
+            jnp.asarray(r.uniform(0, 1, (batch, 3)).astype(np.float32)),
+        )
+
+    batches = [make_batch(i) for i in range(4)]
+
+    for i in range(warmup):
+        ro, rd, vd, em, rgbs = batches[i % len(batches)]
+        params, opt_state, loss = train_step(
+            params, opt_state, ro, rd, vd, em, rgbs, jnp.float32(80.0)
+        )
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        ro, rd, vd, em, rgbs = batches[i % len(batches)]
+        params, opt_state, loss = train_step(
+            params, opt_state, ro, rd, vd, em, rgbs, jnp.float32(80.0)
+        )
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "fine_train_rays_per_sec",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / 25000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -194,6 +194,8 @@ class AlphaMask(AppClass):
 
     def learn(self) -> None:
         decay = exp_decay_factor(self.lr_decay)
+        self.params = self.place_replicated(self.params)
+        self.opt_state = self.place_replicated(self.opt_state)
         train_step = self._build_train_step()
         ckpt_dir = self.ckpt_dir()
         ckpt_path = os.path.join(ckpt_dir, "last.ckpt")
@@ -205,7 +207,7 @@ class AlphaMask(AppClass):
 
         pbar = self.tqdm(range(self.global_step, self.n_iters), colour="green")
         for self.global_step in pbar:
-            batch = {k: jnp.asarray(v) for k, v in self.sampler.sample().items()}
+            batch = self.place_batch(self.sampler.sample())
             key, sub = jax.random.split(key)
             self.params, self.opt_state, mse = train_step(
                 self.params, self.opt_state, batch,

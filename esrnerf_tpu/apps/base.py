@@ -50,6 +50,47 @@ class AppClass:
     def pretty_global_step(self) -> str:
         return f"{self.global_step:010}"
 
+    # ------------------------------------------------------------- sharding
+
+    @property
+    def mesh(self):
+        """1-D data mesh over all devices (None on a single device).
+
+        Ray batches are embarrassingly parallel (SURVEY.md §2.3): the batch
+        tensors shard over the 'data' axis, parameters stay replicated, and
+        XLA inserts the psum for the mean losses / gradient all-reduce.
+        """
+        if not hasattr(self, "_mesh"):
+            import jax
+
+            from esrnerf_tpu.parallel import get_mesh
+
+            axes = tuple(self.cfg.system.get("mesh_axes") or ())
+            self._mesh = (
+                get_mesh(axes) if axes and len(jax.devices()) > 1 else None
+            )
+        return self._mesh
+
+    def place_batch(self, batch: dict) -> dict:
+        """Device placement for a host batch: sharded over the data axis
+        when a mesh exists, plain transfer otherwise."""
+        import jax.numpy as jnp
+
+        if self.mesh is not None:
+            from esrnerf_tpu.parallel import shard_batch
+
+            return shard_batch(batch, self.mesh)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def place_replicated(self, tree):
+        if self.mesh is not None:
+            import jax
+
+            from esrnerf_tpu.parallel import replicated
+
+            return jax.device_put(tree, replicated(self.mesh))
+        return tree
+
     def get_logger(self) -> Logger:
         if self.logger is None:
             self.logger = Logger(self.cfg)

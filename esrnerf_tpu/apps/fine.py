@@ -251,6 +251,8 @@ class Fine(AppClass):
             self.evaluate()
 
     def learn(self) -> None:
+        self.params = self.place_replicated(self.params)
+        self.opt_state = self.place_replicated(self.opt_state)
         train_step = self._build_train_step()
         ckpt_dir = self.ckpt_dir()
         ckpt_path = os.path.join(ckpt_dir, "last.ckpt")
@@ -268,7 +270,7 @@ class Fine(AppClass):
                 self.opt_state = self.opt.init(self.params)
                 train_step = self._build_train_step()
 
-            batch = {k: jnp.asarray(v) for k, v in self.sampler.sample().items()}
+            batch = self.place_batch(self.sampler.sample())
             s_val = self.s_val_at(self.global_step)
             self.renderer.s_val = s_val
             tv_on = (
@@ -347,6 +349,21 @@ class Fine(AppClass):
 
     # ----------------------------------------------------------------- eval
 
+    def _eval_fwd(self):
+        return jax.jit(self.renderer.forward_evaluate)
+
+    def _decompose_pbr(self, pbr_pts, n_rays: int, s_val):
+        """Hook: chunked LTS decomposition (LTS/PDRA stages only)."""
+        raise NotImplementedError
+
+    def _scene_extra_images(self, dirs) -> None:
+        """Hook: extra scene-level artifacts (e.g. envmap renders)."""
+
+    def _pre_composite_hook(self, imgs, data, metrics):
+        """Hook: per-image post-processing before background compositing
+        (PDRA masks lin/emit by k_val and accumulates emission IoU)."""
+        return imgs
+
     def evaluate(self, N_vis: int = -1) -> None:
         dirs = self.eval_dirs()
         img_idxes = self.eval_img_idxes(len(self.test_dataset), N_vis)
@@ -360,7 +377,7 @@ class Fine(AppClass):
         }
         renders: Dict[str, List[np.ndarray]] = {}
         s_val = getattr(self.renderer, "s_val", self.s_start)
-        fwd = jax.jit(self.renderer.forward_evaluate)
+        fwd = self._eval_fwd()
 
         for i in self.tqdm(img_idxes, desc="eval", leave=False):
             data = self.test_dataset[int(i)]
@@ -377,6 +394,11 @@ class Fine(AppClass):
                     jnp.asarray(data["viewdirs"][st:en]),
                     jnp.int32(em), pos_rt, jnp.float32(s_val),
                 )
+                pbr_pts = out.pop("pbr_points", None)
+                if pbr_pts is not None:
+                    out.update(
+                        self._decompose_pbr(pbr_pts, en - st, jnp.float32(s_val))
+                    )
                 for k, v in out.items():
                     results.setdefault(k, []).append(np.asarray(v))
 
@@ -385,6 +407,7 @@ class Fine(AppClass):
                 return a[..., 0] if a.shape[-1] == 1 else a
 
             imgs = {k: to_img(v) for k, v in results.items()}
+            imgs = self._pre_composite_hook(imgs, data, metrics)
             wbg = imgs["etc/white_bg"] * self.white_bg
             final = {}
             for k, v in imgs.items():
@@ -430,6 +453,8 @@ class Fine(AppClass):
                 renders.setdefault(k, []).append(
                     (np.clip(v, 0, 1) * 255).astype(np.uint8)
                 )
+
+        self._scene_extra_images(dirs)
 
         verts, tris = self.renderer.extract_geometry(
             self.params, batch_size=self.eval_bs,

@@ -166,15 +166,32 @@ class RayGroupManager:
         self.uncert_batch_st, self.cert_batch_st = u_en, c_en
         u_bs, c_bs = u_en - u_st, c_en - c_st
 
+        def take(data, st, en, want):
+            """Slice [st:en], wrap-around-filling to ``want`` rows when the
+            pool is smaller than the batch size — keeps the jitted train
+            step's shapes static (the reference shrinks the batch instead,
+            utils2/utils.py:269-303, which would force recompilation)."""
+            n = len(data[self.keys[0]])
+            out = {k: data[k][st:en] for k in self.keys}
+            have = en - st
+            if n > 0 and have < want:
+                extra = self.rng.integers(0, n, want - have)
+                out = {k: np.concatenate([out[k], data[k][extra]], 0)
+                       for k in self.keys}
+            return out
+
+        u = take(self.uncert_data, u_st, u_en,
+                 self.uncert_batch_size if self.uncert_data_num > 0 else 0)
+        c = take(self.cert_data, c_st, c_en,
+                 self.cert_batch_size if self.cert_data_num > 0 else 0)
+        u_n = len(u[self.keys[0]])
+        c_n = len(c[self.keys[0]])
         batch = {
-            k: np.concatenate(
-                [self.uncert_data[k][u_st:u_en], self.cert_data[k][c_st:c_en]], 0
-            )
-            for k in self.keys
+            k: np.concatenate([u[k], c[k]], 0) for k in self.keys
         }
-        um = np.ones(u_bs + c_bs, dtype=bool)
-        if c_bs > 0:
-            um[-c_bs:] = False
+        um = np.ones(u_n + c_n, dtype=bool)
+        if c_n > 0:
+            um[-c_n:] = False
         batch["uncert_masks"] = um
         return batch
 

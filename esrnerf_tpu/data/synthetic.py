@@ -161,10 +161,18 @@ def write_scene(
             mode = modes[idx % len(modes)]
             on = mode != "off"
             intensity = 0.5 if mode == "i_change" else 1.0
-            color = [0.3, 0.5, 1.0] if mode == "c_change" else None
-            if mode == "ic_change":
-                intensity, color = 0.5, [0.3, 0.5, 1.0]
-            fname = save_frame(split, idx, pose, on, intensity, color)
+            # edit colors are (hue, saturation) pairs — the editing pipeline
+            # replaces hsv[..., :2] with them (reference esrnerf.py:419-421)
+            color_hs = [0.6, 0.8] if mode in ("c_change", "ic_change") else None
+            color_rgb = None
+            if color_hs is not None:
+                import colorsys
+
+                v = float(EMIT_RGB.max())
+                color_rgb = list(
+                    colorsys.hsv_to_rgb(color_hs[0], color_hs[1], v)
+                )
+            fname = save_frame(split, idx, pose, on, intensity, color_rgb)
             frames.append(
                 {
                     "file_path": f"{split}/{fname}",
@@ -173,7 +181,7 @@ def write_scene(
                         {
                             "mode": mode,
                             "mask_path": mask_path,
-                            "color": color or EMIT_RGB.tolist(),
+                            "color": color_hs or [0.12, 0.6],
                             "intensity": intensity,
                         }
                     ],

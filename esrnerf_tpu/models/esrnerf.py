@@ -1,0 +1,614 @@
+"""ESRNeRF — full inverse-rendering model (LTS / PDRA stages).
+
+Functional JAX re-design of ``app/fine/model/esrnerf.py:43-1690``. Adds to
+VoxurfF: a BRDF feature grid + BRDFNet (basecolor/roughness/metallic via
+sigmoid split), EmissionNet (softplus emission), a 48-lobe spherical-
+Gaussian envmap, and the light-transport-segment machinery: surface points
+spawn ``num_2ndrays`` hemisphere rays whose incoming radiance is
+volume-rendered and composed with the Disney BRDF into reconstruction
+targets ``off_hat`` / ``emo_hat``.
+
+TPU-first layout: the secondary fan-out (points x dirs) is flattened into
+one dense batched march with its own compaction budget — the same
+``[N, S] -> top-K`` pipeline as the primary march, so the whole train step
+stays one XLA program. Dynamic point counts (the reference's
+``np.random.choice`` of <=100 surface points) become a fixed-size random
+selection with a validity mask.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esrnerf_tpu.models import mlp as mlpops
+from esrnerf_tpu.models.voxurff import NORMAL_FLIPPER, VoxurfF
+from esrnerf_tpu.ops import grid as gridops
+from esrnerf_tpu.ops import pbr as pbrops
+from esrnerf_tpu.ops import render as renderops
+from esrnerf_tpu.ops.image import hsv_to_rgb, rgb_to_hsv
+
+Params = Dict[str, jnp.ndarray]
+
+_ENV_ACTS = {
+    "softplus": jax.nn.softplus, "relu": jax.nn.relu, "abs": jnp.abs,
+    "exp": jnp.exp, "sigmoid": jax.nn.sigmoid,
+}
+
+
+class ESRNeRF(VoxurfF):
+    def __init__(self, cfg, near, far, xyz_min, xyz_max, mask_cache, s_val,
+                 num_voxels, mask_meta=None):
+        super().__init__(cfg, near, far, xyz_min, xyz_max, mask_cache, s_val,
+                         num_voxels, mask_meta)
+        m = cfg.app.model
+        self.brdfnet_width = int(m["brdfnet_width"])
+        self.brdfnet_depth = int(m["brdfnet_depth"])
+        self.env_sg = int(m["env_sg"])
+        self.env_activation = str(m["env_activation"])
+        self.ray_sampling = str(m["ray_sampling"]).lower()
+        self.num_2ndrays = int(m["num_2ndrays"])
+        self.num_ltspts = int(m["num_ltspts"])
+        self.lts_near = float(m["lts_near"])
+        # TPU-specific: compaction budget per secondary ray
+        self.points_per_2ndray = int(m.get("points_budget_per_2ndray", 24))
+
+        D = len(self.grad_feat)
+        # brdf feature dim (reference esrnerf.py:181-184)
+        self.brdf_dim0 = (
+            (3 + 3 * self.posbase_pe * 2) + self.color_dim + D * 3 + D * 6 + 1
+        )
+        self.pdra_mode = False
+
+    # ------------------------------------------------------------------ init
+
+    def init_params(self, key: jax.Array) -> Params:
+        k0, k1, k2, k3 = jax.random.split(key, 4)
+        params = super().init_params(k0)
+        X, Y, Z = self.geo.world_size
+        bd = (
+            [self.brdf_dim0]
+            + [self.brdfnet_width] * (self.brdfnet_depth - 1)
+        )
+        params.update(
+            {
+                "brdf": jnp.zeros((X, Y, Z, self.color_dim), jnp.float32),
+                "brdfnet": mlpops.init_mlp(k1, bd + [5], zero_final_bias=True),
+                "emitnet": mlpops.init_mlp(k2, bd + [3], zero_final_bias=True),
+                "envmap": pbrops.init_sg_params(k3, self.env_sg,
+                                                self.env_activation),
+            }
+        )
+        return params
+
+    # --------------------------------------------------------------- helpers
+
+    def scattering(self, key: Optional[jax.Array], normal: jnp.ndarray,
+                   number: int) -> jnp.ndarray:
+        if self.ray_sampling in ("fib", "fibo", "fibonacci"):
+            return pbrops.diffuse_scattering_fib(normal, number)
+        return pbrops.diffuse_scattering(key, normal, number)
+
+    def envmap_eval(self, params: Params, dirs: jnp.ndarray) -> jnp.ndarray:
+        env = params["envmap"]
+        return pbrops.sg_envmap(
+            env["mus"], env["lambdas"], env["lobes"], dirs,
+            activation=_ENV_ACTS[self.env_activation],
+        )
+
+    def render_envmap(self, params: Params, H: int, W: int) -> jnp.ndarray:
+        """Equirect envmap image (reference esrnerf.py:1674-1690)."""
+        phi, theta = jnp.meshgrid(
+            jnp.linspace(0.0, np.pi, H), jnp.linspace(np.pi, -np.pi, W),
+            indexing="ij",
+        )
+        dirs = jnp.stack(
+            [jnp.cos(theta) * jnp.sin(phi), jnp.sin(theta) * jnp.sin(phi),
+             jnp.cos(phi)],
+            axis=-1,
+        ).reshape(-1, 3)
+        return self.envmap_eval(params, dirs).reshape(H, W, 3)
+
+    def sample_sdf_expgrad(self, sdf_grid: jnp.ndarray, pts: jnp.ndarray):
+        """SDF + gradient w.r.t. the sample *coordinates* — the reference
+        needs a hand-written differentiable grid sample for this
+        (esrnerf.py:1572-1596); in JAX it's a one-line jax.grad."""
+        def sample_one(p):
+            return self.geo.sample_grid(sdf_grid, p[None])[0, 0]
+
+        sdf = self.geo.sample_grid(sdf_grid, pts)[..., 0]
+        exp_grad = jax.vmap(jax.grad(sample_one))(pts)
+        return sdf, exp_grad
+
+    def _xyz_emb_full(self, pts: jnp.ndarray) -> jnp.ndarray:
+        geo = self.geo
+        xyz_n = (pts - geo.xyz_min) / (geo.xyz_max - geo.xyz_min)
+        posfreq = jnp.asarray([2.0**i for i in range(self.posbase_pe)])
+        emb = (xyz_n[..., None] * posfreq).reshape(*xyz_n.shape[:-1], -1)
+        return jnp.concatenate([xyz_n, jnp.sin(emb), jnp.cos(emb)], -1)
+
+    def _brdf_feat(self, params, pts, sdf):
+        feat6, _, normals = self.geo.sample_sdfeat_grad_normal(
+            params["sdf"], pts, self.grad_feat
+        )
+        return jnp.concatenate(
+            [self._xyz_emb_full(pts), sdf[:, None], feat6, normals], -1
+        )
+
+    def _brdf_heads(self, params, pts, brdf_feat, emit_grid_key: str = "emo_color"):
+        """BRDFNet (sigmoid, split 3/1/1) + EmissionNet (softplus)
+        (reference esrnerf.py:761-765). ``emit_grid_key`` switches between
+        the live emo grid and the frozen finetune snapshot (emit_color)."""
+        bx = jnp.concatenate(
+            [self.geo.sample_grid(params["brdf"], pts), brdf_feat], -1
+        )
+        brdf_out = jax.nn.sigmoid(mlpops.apply_mlp(params["brdfnet"], bx))
+        basecolor, roughness, metallic = (
+            brdf_out[:, :3], brdf_out[:, 3:4], brdf_out[:, 4:5]
+        )
+        ex = jnp.concatenate(
+            [self.geo.sample_grid(params[emit_grid_key], pts), brdf_feat], -1
+        )
+        emit = jax.nn.softplus(mlpops.apply_mlp(params["emitnet"], ex))
+        return basecolor, roughness, metallic, emit
+
+    # ------------------------------------------------------- secondary march
+
+    def _secondary_radiance(
+        self, params: Params, rays_o: jnp.ndarray, dirs: jnp.ndarray,
+        s_val, heads=("off", "emo"),
+    ):
+        """Volume-render incoming radiance along secondary rays
+        (reference esrnerf.py:574-651): march with near=lts_near, fine-style
+        filters, radiance heads, segment reduce. Returns
+        ({head: [Nsec,3]}, alphainv_last [Nsec])."""
+        geo = self.geo
+        Nsec = rays_o.shape[0]
+        m = geo.march(
+            params["sdf"], rays_o, dirs, dirs, s_val, self.fastcolor_thres,
+            self.neus_alpha, style="fine",
+            k_budget=Nsec * self.points_per_2ndray,
+            near_override=self.lts_near,
+        )
+        rid = jnp.minimum(m.ray_id, Nsec - 1)
+        feat = self._features(params, m.pts, dirs[rid], m.sdf)
+        out = {}
+        for h in heads:
+            lin = self._radiance(params, h, m.pts, feat)
+            out[h] = geo.segment_to_rays(m, lin)
+        return out, m.alphainv_last
+
+    def light_transport_segment(
+        self, params: Params, key: Optional[jax.Array],
+        pts, viewdirs, normal, sdf, basecolor, roughness, metallic, emission,
+        uncert, valid, s_val,
+    ) -> Dict[str, jnp.ndarray]:
+        """Training-time LTS (reference esrnerf.py:487-679).
+
+        pts..uncert are the P selected surface points (P static); ``valid``
+        masks slots that had no real surviving sample. Returns off/emo and
+        their reconstructions, each [2P, 3] (actual viewdir block then
+        random-viewdir block, like the reference's repeat([2,1]) layout).
+        """
+        P = pts.shape[0]
+        n2 = self.num_2ndrays
+
+        dirs_all = self.scattering(key, normal, n2 + 1)  # [P, n2+1, 3]
+        viewdirs_rand = -dirs_all[:, -1]
+        dirs = dirs_all[:, :-1]  # [P, n2, 3]
+
+        # surface radiance for both outgoing dirs (targets off/emo) --------
+        feat6, _, normals6 = self.geo.sample_sdfeat_grad_normal(
+            params["sdf"], pts, self.grad_feat
+        )
+        xyz_emb = self._xyz_emb_full(pts)
+        viewfreq = jnp.asarray([2.0**i for i in range(self.viewbase_pe)])
+        vd2 = jnp.concatenate([viewdirs, viewdirs_rand], 0)  # [2P,3]
+        v_emb = (vd2[..., None] * viewfreq).reshape(2 * P, -1)
+        rgb_feat = jnp.concatenate(
+            [
+                jnp.tile(xyz_emb, (2, 1)), v_emb, jnp.sin(v_emb), jnp.cos(v_emb),
+                jnp.tile(sdf[:, None], (2, 1)), jnp.tile(feat6, (2, 1)),
+                jnp.tile(normals6, (2, 1)),
+            ],
+            -1,
+        )
+        pts2 = jnp.tile(pts, (2, 1))
+
+        def head(h):
+            x = jnp.concatenate(
+                [self.geo.sample_grid(params[f"{h}_color"], pts2), rgb_feat], -1
+            )
+            return jax.nn.softplus(mlpops.apply_mlp(params[f"{h}_rgbnet"], x))
+
+        off = head("off")   # [2P,3]
+        emo = head("emo")
+
+        # BRDF response for every (point, dir) against both outgoing dirs --
+        flat = lambda x, d=3: jnp.broadcast_to(
+            x[:, None], (P, n2, d)
+        ).reshape(P * n2, d)
+        R = pbrops.disney_reflection(
+            jnp.tile(flat(basecolor), (2, 1)),
+            jnp.tile(flat(roughness, 1), (2, 1)),
+            jnp.tile(flat(metallic, 1), (2, 1)),
+            jnp.tile(flat(normal), (2, 1)),
+            jnp.tile(dirs.reshape(P * n2, 3), (2, 1)),
+            jnp.concatenate([-flat(viewdirs), -flat(viewdirs_rand)], 0),
+        )  # [2*P*n2, 3]
+
+        # incoming radiance along the secondary rays -----------------------
+        sec_o = flat(pts)
+        sec_d = dirs.reshape(P * n2, 3)
+        inc, alphainv_last = self._secondary_radiance(
+            params, sec_o, sec_d, s_val
+        )
+
+        env = self.envmap_eval(params, sec_d) * alphainv_last[:, None]
+
+        def mean_dirs(x2):  # [2*P*n2,3] -> [2P,3]
+            return x2.reshape(2 * P, n2, 3).mean(-2)
+
+        off_hat = mean_dirs(jnp.tile(inc["off"] + env, (2, 1)) * R)
+        reflect = mean_dirs(jnp.tile(inc["emo"], (2, 1)) * R)
+
+        emit2 = jnp.tile(emission, (2, 1))
+        if self.pdra_mode:
+            um2 = jnp.tile(uncert, 2)[:, None]
+            emo_hat = jnp.where(
+                um2, emit2 + jax.lax.stop_gradient(reflect), reflect
+            )
+        else:
+            emo_hat = emit2 + reflect
+
+        valid2 = jnp.tile(valid, 2)
+        return {
+            "off": off, "emo": emo, "off_hat": off_hat, "emo_hat": emo_hat,
+            "valid": valid2,
+        }
+
+    def _select_lts_points(self, key: jax.Array, march, P: int):
+        """Fixed-size random selection among surviving compacted samples
+        (replaces np.random.choice at esrnerf.py:792-794)."""
+        scores = jax.random.uniform(key, (march.pts.shape[0],))
+        scores = jnp.where(march.pad, 2.0, scores)
+        _, sel = jax.lax.top_k(-scores, P)
+        valid = ~march.pad[sel]
+        return sel, valid
+
+    # -------------------------------------------------------------- training
+
+    def forward_training(
+        self, params: Params, rays_o, rays_d, viewdirs, em_modes, uncert_masks,
+        s_val, normal_eps, emit_eps, rng,
+    ) -> Dict[str, jnp.ndarray]:
+        geo = self.geo
+        k_sel, k_scat, k_neps, k_eeps = jax.random.split(rng, 4)
+        m = geo.march(
+            params["sdf"], rays_o, rays_d, viewdirs, s_val,
+            self.fastcolor_thres, self.neus_alpha, style="fine",
+        )
+        rid = jnp.minimum(m.ray_id, m.n_rays - 1)
+        sdf_c, exp_grad = self.sample_sdf_expgrad(params["sdf"], m.pts)
+
+        feat = self._features(params, m.pts, viewdirs[rid], m.sdf)
+        on_mask = ((em_modes[rid] == 1) & ~m.pad)[:, None]
+        off = self._radiance(params, "off", m.pts, feat)
+        emo = self._radiance(params, "emo", m.pts, feat)
+        # on rays: emo + off (NOT detached here — reference esrnerf.py:751-757
+        # adds off without detach, unlike VoxurfF)
+        lin_rgb = jnp.where(on_mask, emo + off, off)
+        rgb = self.apply_tonemapper(params, lin_rgb)
+
+        brdf_feat = self._brdf_feat(params, m.pts, m.sdf)
+        basecolor, roughness, metallic, emit = self._brdf_heads(
+            params, m.pts, brdf_feat
+        )
+
+        rgb_m = geo.segment_to_rays(m, rgb)
+        lin_m = geo.segment_to_rays(m, lin_rgb)
+        emit_m = geo.segment_to_rays(m, emit)
+
+        normal = exp_grad / jnp.maximum(
+            jnp.linalg.norm(exp_grad, axis=-1, keepdims=True), 1e-12
+        )
+        normal = jax.lax.stop_gradient(normal)
+
+        sel, lts_valid = self._select_lts_points(k_sel, m, self.num_ltspts)
+        lts = self.light_transport_segment(
+            params, k_scat,
+            m.pts[sel], viewdirs[rid[sel]], normal[sel], m.sdf[sel],
+            basecolor[sel], roughness[sel], metallic[sel], emit[sel],
+            uncert_masks[rid[sel]], lts_valid, s_val,
+        )
+
+        # eps-perturbed re-evaluations for smoothness (esrnerf.py:807-830)
+        _, exp_grad_eps = self.sample_sdf_expgrad(
+            params["sdf"],
+            m.pts + jax.random.normal(k_neps, m.pts.shape) * normal_eps,
+        )
+        pts_e = m.pts + jax.random.normal(k_eeps, m.pts.shape) * emit_eps
+        sdf_e, _ = geo.sample_sdf_grad(params["sdf"], pts_e)
+        brdf_feat_e = self._brdf_feat(params, pts_e, sdf_e)
+        basecolor_e, rough_e, metal_e, emit_e = self._brdf_heads(
+            params, pts_e, brdf_feat_e
+        )
+
+        pt_valid = ~m.pad
+        return {
+            "etc/alphainv_cum": m.alphainv_last,
+            "etc/white_bg": m.alphainv_last[..., None],
+            "srgb/rgb": rgb_m,
+            "lin/rgb": lin_m,
+            "lin/pbr/off": lts["off"],
+            "lin/pbr/off_hat": lts["off_hat"],
+            "lin/pbr/emo": lts["emo"],
+            "lin/pbr/emo_hat": lts["emo_hat"],
+            "lin/pbr/valid": lts["valid"],
+            "etc/emit_marched": emit_m,
+            "etc/normal": exp_grad,
+            "etc/normal_eps": exp_grad_eps,
+            "etc/emit": emit,
+            "etc/emit_eps": emit_e,
+            "etc/brdf": jnp.concatenate([basecolor, roughness, metallic], -1),
+            "etc/brdf_eps": jnp.concatenate(
+                [basecolor_e, rough_e, metal_e], -1
+            ),
+            "etc/point_valid": pt_valid,
+            "etc/overflow": m.overflow,
+        }
+
+    # ------------------------------------------------------------ evaluation
+
+    def forward_evaluate(
+        self, params: Params, rays_o, rays_d, viewdirs, em_modes, pos_rt,
+        s_val, render_pbr: bool = False, emit_grid_key: str = "emo_color",
+    ) -> Dict[str, jnp.ndarray]:
+        geo = self.geo
+        m = geo.march(
+            params["sdf"], rays_o, rays_d, viewdirs, s_val,
+            self.fastcolor_thres, self.neus_alpha, style="fine",
+        )
+        rid = jnp.minimum(m.ray_id, m.n_rays - 1)
+        feat = self._features(params, m.pts, viewdirs[rid], m.sdf)
+
+        lin_off = self._radiance(params, "off", m.pts, feat)
+        lin_emo = self._radiance(params, "emo", m.pts, feat)
+        lin_on = lin_off + lin_emo
+        off = self.apply_tonemapper(params, lin_off)
+        emo = self.apply_tonemapper(params, lin_emo)
+        on = self.apply_tonemapper(params, lin_on)
+
+        brdf_feat = self._brdf_feat(params, m.pts, m.sdf)
+        basecolor, roughness, metallic, emit = self._brdf_heads(
+            params, m.pts, brdf_feat, emit_grid_key=emit_grid_key
+        )
+
+        _, grad_xyz = geo.sample_sdf_grad(params["sdf"], m.pts)
+        normal = grad_xyz / jnp.maximum(
+            jnp.linalg.norm(grad_xyz, axis=-1, keepdims=True), 1e-12
+        )
+        nrm_vis = ((normal @ pos_rt) * NORMAL_FLIPPER + 1.0) / 2.0
+
+        out = {}
+        for key, v in [
+            ("srgb/off_rgb", off), ("lin/off_rgb", lin_off),
+            ("srgb/on_rgb", on), ("lin/on_rgb", lin_on),
+            ("srgb/emo_rgb", emo), ("lin/emo_rgb", lin_emo),
+            ("lin/emit", emit), ("lin/basecolor", basecolor),
+            ("etc/normal", nrm_vis),
+        ]:
+            out[key] = geo.segment_to_rays(m, v)
+        out["lin/roughness"] = geo.segment_to_rays(m, roughness[:, 0])
+        out["lin/metallic"] = geo.segment_to_rays(m, metallic[:, 0])
+
+        depth = geo.segment_to_rays(
+            m, m.step_id.astype(jnp.float32) * geo.stepdist
+        )
+        disp = 1.0 / (depth + m.alphainv_last * geo.far)
+        is_off = jnp.asarray(em_modes) == 0
+        out.update(
+            {
+                "etc/depth": depth,
+                "etc/disp": disp,
+                "etc/white_bg": m.alphainv_last[..., None],
+                "srgb/rgb": jnp.where(is_off, out["srgb/off_rgb"], out["srgb/on_rgb"]),
+                "lin/rgb": jnp.where(is_off, out["lin/off_rgb"], out["lin/on_rgb"]),
+            }
+        )
+
+        if render_pbr:
+            # hand back the per-point buffers needed for the chunked LTS
+            # decomposition (reference esrnerf.py:1229-1270); the app loops
+            # lts_eval_chunk over them and segment-reduces host-side —
+            # running the full K x num_2ndrays fan-out in one XLA program
+            # would be ~1e8 secondary rays.
+            _, exp_grad = self.sample_sdf_expgrad(params["sdf"], m.pts)
+            normal_lts = jax.lax.stop_gradient(
+                exp_grad
+                / jnp.maximum(jnp.linalg.norm(exp_grad, -1, keepdims=True), 1e-12)
+            )
+            out["pbr_points"] = {
+                "pts": m.pts, "viewdirs": viewdirs[rid], "normal": normal_lts,
+                "basecolor": basecolor, "roughness": roughness,
+                "metallic": metallic, "emit": emit, "ray_id": m.ray_id,
+                "weights": m.weights, "pad": m.pad,
+            }
+        return out
+
+    def lts_eval_chunk(
+        self, params: Params, key, pts, viewdirs_pt, normal, basecolor,
+        roughness, metallic, s_val,
+    ) -> Dict[str, jnp.ndarray]:
+        """Per-point env/emission decomposition for one chunk of surviving
+        samples (reference eval LTS inner, esrnerf.py:873-1001). Returns
+        per-point values; the caller weights and segment-reduces to rays."""
+        K = pts.shape[0]
+        n2 = self.num_2ndrays
+        dirs = self.scattering(key, normal, n2)
+
+        flat = lambda x, d=3: jnp.broadcast_to(
+            x[:, None], (K, n2, d)
+        ).reshape(K * n2, d)
+        R = pbrops.disney_reflection(
+            flat(basecolor), flat(roughness, 1), flat(metallic, 1),
+            flat(normal), dirs.reshape(K * n2, 3), -flat(viewdirs_pt),
+        )
+        inc, alphainv_last = self._secondary_radiance(
+            params, flat(pts), dirs.reshape(K * n2, 3), s_val
+        )
+        env = self.envmap_eval(params, dirs.reshape(K * n2, 3))
+        env = env * alphainv_last[:, None]
+
+        def mean_dirs(x):
+            return x.reshape(K, n2, 3).mean(-2)
+
+        env_dir = mean_dirs(env * R)
+        env_indir = mean_dirs(inc["off"] * R)
+        emit_indir = mean_dirs(inc["emo"] * R)
+        return {
+            "lin/env_dir": env_dir,
+            "lin/env_indir": env_indir,
+            "lin/env_effects": env_dir + env_indir,
+            "lin/emit_(in)dir": emit_indir,
+        }
+
+    # ------------------------------------------------------- emission probes
+
+    def eval_emit(self, params: Params, rays_o, rays_d, viewdirs, s_val,
+                  emit_grid_key: str = "emo_color") -> jnp.ndarray:
+        """Per-ray rendered emission (reference esrnerf.py:1299-1358)."""
+        geo = self.geo
+        m = geo.march(
+            params["sdf"], rays_o, rays_d, viewdirs, s_val,
+            self.fastcolor_thres, self.neus_alpha, style="fine",
+        )
+        brdf_feat = self._brdf_feat(params, m.pts, m.sdf)
+        ex = jnp.concatenate(
+            [geo.sample_grid(params[emit_grid_key], m.pts), brdf_feat], -1
+        )
+        emit = jax.nn.softplus(mlpops.apply_mlp(params["emitnet"], ex))
+        return geo.segment_to_rays(m, emit)
+
+    def eval_esp(self, params: Params, rays_o, rays_d, viewdirs, s_val):
+        """Expected surface point per ray (reference esrnerf.py:1360-1407)."""
+        geo = self.geo
+        m = geo.march(
+            params["sdf"], rays_o, rays_d, viewdirs, s_val,
+            self.fastcolor_thres, self.neus_alpha, style="fine",
+        )
+        return geo.segment_to_rays(m, m.pts)
+
+    # --------------------------------------------------------------- finetune
+
+    def forward_finetune(
+        self, params: Params, frozen: Params, rays_o, rays_d, viewdirs,
+        em_modes, em_intensities, em_colors, s_val, rng,
+    ) -> Dict[str, jnp.ndarray]:
+        """Relighting fine-tune forward (reference esrnerf.py:241-484).
+
+        ``params`` holds only the trainable emo branch (emo_color,
+        emo_rgbnet); ``frozen`` holds everything else including the
+        ``emit_color`` snapshot. Only ``lin/pbr/emo`` carries gradients; the
+        edited target ``lin/pbr/emo_hat`` is fully stop-gradiented.
+        """
+        geo = self.geo
+        full = {**frozen, **params}
+        k_sel, k_scat = jax.random.split(rng)
+
+        m = geo.march(
+            full["sdf"], rays_o, rays_d, viewdirs, s_val,
+            self.fastcolor_thres, self.neus_alpha, style="fine",
+        )
+        rid = jnp.minimum(m.ray_id, m.n_rays - 1)
+        sel, valid = self._select_lts_points(k_sel, m, self.num_ltspts)
+        pts = m.pts[sel]
+        P = pts.shape[0]
+        n2 = self.num_2ndrays
+        vd = viewdirs[rid[sel]]
+        modes = em_modes[rid[sel]]
+        intens = em_intensities[rid[sel]]
+        colors = em_colors[rid[sel]]
+
+        sdf, exp_grad = self.sample_sdf_expgrad(full["sdf"], pts)
+        sdf = jax.lax.stop_gradient(sdf)
+        normal = jax.lax.stop_gradient(
+            exp_grad / jnp.maximum(
+                jnp.linalg.norm(exp_grad, -1, keepdims=True), 1e-12
+            )
+        )
+
+        dirs_all = self.scattering(k_scat, normal, n2 + 1)
+        vd_rand = -dirs_all[:, -1]
+        dirs = dirs_all[:, :-1]
+
+        # surface emo radiance (the only grad-carrying branch)
+        feat6, _, normals6 = geo.sample_sdfeat_grad_normal(full["sdf"], pts,
+                                                           self.grad_feat)
+        xyz_emb = self._xyz_emb_full(pts)
+        viewfreq = jnp.asarray([2.0**i for i in range(self.viewbase_pe)])
+        vd2 = jnp.concatenate([vd, vd_rand], 0)
+        v_emb = (vd2[..., None] * viewfreq).reshape(2 * P, -1)
+        rgb_feat = jnp.concatenate(
+            [
+                jnp.tile(xyz_emb, (2, 1)), v_emb, jnp.sin(v_emb),
+                jnp.cos(v_emb), jnp.tile(sdf[:, None], (2, 1)),
+                jnp.tile(feat6, (2, 1)), jnp.tile(normals6, (2, 1)),
+            ],
+            -1,
+        )
+        pts2 = jnp.tile(pts, (2, 1))
+        ex = jnp.concatenate(
+            [geo.sample_grid(full["emo_color"], pts2), rgb_feat], -1
+        )
+        emo = jax.nn.softplus(mlpops.apply_mlp(full["emo_rgbnet"], ex))
+
+        # everything below builds the target — stop-gradient world
+        tgt = jax.lax.stop_gradient
+        brdf_feat = self._brdf_feat(full, pts, sdf)
+        basecolor, roughness, metallic, emit = self._brdf_heads(
+            full, pts, brdf_feat, emit_grid_key="emit_color"
+        )
+        basecolor, roughness, metallic, emit = map(
+            tgt, (basecolor, roughness, metallic, emit)
+        )
+
+        flat = lambda x, d=3: jnp.broadcast_to(
+            x[:, None], (P, n2, d)
+        ).reshape(P * n2, d)
+        R = pbrops.disney_reflection(
+            jnp.tile(flat(basecolor), (2, 1)),
+            jnp.tile(flat(roughness, 1), (2, 1)),
+            jnp.tile(flat(metallic, 1), (2, 1)),
+            jnp.tile(flat(normal), (2, 1)),
+            jnp.tile(dirs.reshape(P * n2, 3), (2, 1)),
+            jnp.concatenate([-flat(vd), -flat(vd_rand)], 0),
+        )
+        inc, _ = self._secondary_radiance(
+            full, flat(pts), dirs.reshape(P * n2, 3), s_val, heads=("emo",)
+        )
+        lin_emo_in = tgt(inc["emo"])
+
+        # light-editing transforms (esrnerf.py:413-421)
+        off_m = (modes == 0)[:, None]
+        i_m = ((modes == 2) | (modes == 4))[:, None]
+        c_m = ((modes == 3) | (modes == 4))[:, None]
+        emit = jnp.where(off_m, 0.0, emit)
+        emit = jnp.where(i_m, emit * intens[..., None], emit)
+        hsv = rgb_to_hsv(emit)
+        hsv_edit = jnp.concatenate([colors[..., :2], hsv[..., 2:]], -1)
+        emit = jnp.where(c_m, hsv_to_rgb(hsv_edit), emit)
+
+        reflect = (
+            (jnp.tile(lin_emo_in, (2, 1)) * R).reshape(2 * P, n2, 3).mean(-2)
+        )
+        emo_hat = jnp.tile(emit, (2, 1)) + tgt(reflect)
+
+        return {
+            "lin/pbr/emo": emo,
+            "lin/pbr/emo_hat": tgt(emo_hat),
+            "lin/pbr/valid": jnp.tile(valid, 2),
+        }

@@ -96,8 +96,10 @@ class VoxurfGeometry:
 
         m = cfg.app.model
         self.stepsize = float(m["stepsize"])
-        self.num_voxels = int(m["num_voxels"]) if "num_voxels" in m else int(
-            cfg.app.trainer["num_voxels"]
+        # fine/LTS models receive num_voxels from the previous checkpoint and
+        # call set_grid_resolution() themselves; fall back to cfg when present
+        self.num_voxels = int(
+            m.get("num_voxels") or cfg.app["trainer"].get("num_voxels") or 4096
         )
         self.set_grid_resolution(self.num_voxels)
         # TPU-specific static budget for the compacted point buffer
@@ -143,11 +145,12 @@ class VoxurfGeometry:
         ne = self.nonempty_mask()[..., None]
         return jnp.where(ne, sdf, 1.0)
 
-    def sample_dense(self, rays_o, rays_d) -> rayops.RaySamples:
+    def sample_dense(self, rays_o, rays_d, near=None) -> rayops.RaySamples:
         """Dense sampling matching the CUDA sampler with far=1e9."""
         return rayops.sample_rays_dense(
             rays_o, rays_d, jnp.asarray(self.xyz_min), jnp.asarray(self.xyz_max),
-            self.near, 1e9, self.stepdist, self.n_samples,
+            self.near if near is None else near, 1e9, self.stepdist,
+            self.n_samples,
         )
 
     def sdf_gradient(self, sdf_grid: jnp.ndarray) -> jnp.ndarray:
@@ -181,6 +184,7 @@ class VoxurfGeometry:
         gradient_grid: Optional[jnp.ndarray] = None,
         k_budget: Optional[int] = None,
         style: str = "coarse",
+        near_override: Optional[float] = None,
     ) -> March:
         """Dense NeuS march + threshold filtering + compaction.
 
@@ -194,7 +198,7 @@ class VoxurfGeometry:
         S = self.n_samples
         K = k_budget or (N * self.points_per_ray)
 
-        rs = self.sample_dense(rays_o, rays_d)
+        rs = self.sample_dense(rays_o, rays_d, near=near_override)
         pts, valid = rs.pts, rs.valid
         mask = valid & self.mask_cache.query(pts)
 

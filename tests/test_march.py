@@ -1,0 +1,106 @@
+"""March pipeline invariants: the static-budget compaction must be a pure
+re-layout — ray-marched outputs computed from the compacted [K] buffers must
+equal the same reduction done on the dense [N,S] grid, for both filter
+styles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esrnerf_tpu.config import load_cfg
+from esrnerf_tpu.models.voxurf_base import VoxurfGeometry, make_mask_cache
+from esrnerf_tpu.ops import render as renderops
+
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def geo():
+    cfg = load_cfg(
+        "cfg/app/coarse.yaml",
+        ["app.phase=train", "data.cls=x", "data.root=x", "data.scene=x",
+         "app.model.num_voxels=8000"],
+        root_dir=REPO,
+    )
+    rng = np.random.default_rng(0)
+    density = np.where(
+        rng.uniform(size=(12, 12, 12, 1)) > 0.4, 20.0, -20.0
+    ).astype(np.float32)
+    mask_cache = make_mask_cache(density, [-1, -1, -1], [1, 1, 1], 1e-6,
+                                 1e-3, 3)
+    return VoxurfGeometry(cfg, 0.5, 4.0, [-1, -1, -1], [1, 1, 1], mask_cache)
+
+
+def random_rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    o = rng.normal(size=(n, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2
+    d = (rng.normal(scale=0.4, size=(n, 3)).astype(np.float32) - o)
+    vd = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d), jnp.asarray(vd)
+
+
+@pytest.mark.parametrize("style", ["coarse", "fine"])
+def test_compaction_preserves_reductions(geo, style):
+    rng = np.random.default_rng(1)
+    sdf_grid = jnp.asarray(
+        rng.normal(scale=0.3, size=(*geo.world_size, 1)).astype(np.float32)
+    )
+    N = 24
+    ro, rd, vd = random_rays(N)
+    s_val = 25.0
+    thres = 1e-4
+
+    m = geo.march(sdf_grid, ro, rd, vd, s_val, thres, "interp", style=style)
+    assert float(m.overflow) == 0.0, "budget too small for the test"
+
+    # dense reference: same masked pipeline without compaction
+    rs = geo.sample_dense(ro, rd)
+    mask = rs.valid & geo.mask_cache.query(rs.pts)
+    sdf = geo.sample_grid(sdf_grid, rs.pts)[..., 0]
+    alpha = renderops.neus_alpha_interp(sdf, mask, s_val)
+    if style == "fine":
+        pre = mask & (alpha > thres)
+        a1 = jnp.where(pre, alpha, 0.0)
+        w1, last = renderops.alpha2weights(a1, pre)
+        keep = w1 > thres
+        weights = jnp.where(keep, w1, 0.0)
+    else:
+        w1, _ = renderops.alpha2weights(alpha, mask)
+        keep = w1 > thres
+        a2 = jnp.where(keep, alpha, 0.0)
+        weights, last = renderops.alpha2weights(a2, keep)
+
+    # compare: weighted reduction of an arbitrary per-point field
+    field_dense = jnp.sin(rs.pts * 3.0)  # [N,S,3]
+    ray_sum_dense = (weights[..., None] * field_dense).sum(1)
+
+    field_c = jnp.sin(m.pts * 3.0)
+    ray_sum_compact = geo.segment_to_rays(m, field_c)
+
+    np.testing.assert_allclose(
+        np.asarray(ray_sum_compact), np.asarray(ray_sum_dense),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.alphainv_last), np.asarray(last), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.cum_weights), np.asarray(weights.sum(1)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_overflow_reported(geo):
+    """With a tiny budget the march must report the dropped fraction."""
+    rng = np.random.default_rng(2)
+    sdf_grid = jnp.asarray(
+        rng.normal(scale=0.1, size=(*geo.world_size, 1)).astype(np.float32)
+    )
+    ro, rd, vd = random_rays(16)
+    m = geo.march(sdf_grid, ro, rd, vd, 25.0, 1e-4, "interp",
+                  k_budget=8, style="coarse")
+    assert float(m.overflow) > 0.0

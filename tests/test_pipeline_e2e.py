@@ -114,6 +114,80 @@ def test_alphamask_then_coarse(scene_root, tmp_path):
     exr_keys = [r for r in recs if any("MSE_EXR" in k for k in r)]
     assert exr_keys, "lin/MSE_EXR_* metrics missing"
 
+    # ---- stage 4 (LTS), warm-started from fine
+    from esrnerf_tpu.apps.lts import LTS
+
+    ckpt3 = os.path.join(cfg3.log["dir"], "checkpoints", "last.ckpt")
+    cfg4 = stage_cfg("lts", scene_root, logdir, 40, extra=[
+        "app.trainer.batch_size=128",
+        "app.model.num_2ndrays=8", "app.model.num_ltspts=8",
+        "app.model.points_budget_per_2ndray=8",
+        "app.model.points_budget_per_ray=16",
+        f"app.trainer.ckpt={ckpt3}",
+        "app.eval.batch_size=800", "app.eval.render_pbr=true",
+        "app.eval.chunk_size=1024",
+        "app.eval.envmap_height=32", "app.eval.envmap_width=64",
+    ])
+    a4 = LTS(cfg4)
+    a4.load_dataset(); a4.load_model(); a4.process()
+
+    recs4 = [json.loads(l) for l in open(
+        os.path.join(cfg4.log["dir"], "metrics.jsonl"))]
+    lts_losses = [r["train/metric/lin/pbr/emo_MSE"] for r in recs4
+                  if "train/metric/lin/pbr/emo_MSE" in r]
+    assert lts_losses and np.isfinite(lts_losses).all()
+    # envmap artifact
+    env_png = os.path.join(
+        cfg4.log["dir"], "image", a4.pretty_global_step, "etc", "envmap.png"
+    )
+    assert os.path.exists(env_png)
+    # PBR decomposition images rendered
+    assert os.path.exists(os.path.join(
+        cfg4.log["dir"], "image", a4.pretty_global_step, "lin", "env_effects",
+        "000.png",
+    ))
+
+    # ---- stage 5 (PDRA): periodic regrouping + emission suppression
+    from esrnerf_tpu.apps.pdra import PDRA
+
+    ckpt4 = os.path.join(cfg4.log["dir"], "checkpoints", "last.ckpt")
+    pdra_extra = [
+        "app.trainer.uncert_batch_size=96", "app.trainer.cert_batch_size=96",
+        "app.model.num_2ndrays=8", "app.model.num_ltspts=8",
+        "app.model.points_budget_per_2ndray=8",
+        "app.model.points_budget_per_ray=16",
+        "app.trainer.group_interval=10", "app.trainer.prog_start=0.05",
+        f"app.trainer.ckpt={ckpt4}",
+        "app.eval.batch_size=800", "app.eval.uncert_batch_size=512",
+        "app.eval.cert_batch_size=512", "app.eval.n_iters=10",
+        "app.eval.envmap_height=32", "app.eval.envmap_width=64",
+        "app.trainer.N_vis=1",
+    ]
+    cfg5 = stage_cfg("pdra", scene_root, logdir, 25, extra=pdra_extra)
+    a5 = PDRA(cfg5)
+    a5.load_dataset(); a5.load_model(); a5.process()
+
+    # rays actually moved to the certain pool
+    assert a5.sampler.cert_data_num > 0
+    recs5 = [json.loads(l) for l in open(
+        os.path.join(cfg5.log["dir"], "metrics.jsonl"))]
+    iou = [r for r in recs5 if "test_nv/metric/etc/IoU" in r]
+    assert iou, "emission IoU missing"
+    ckpt5 = os.path.join(cfg5.log["dir"], "checkpoints", "last.ckpt")
+
+    # ---- relighting eval phase (test_nvc): per-image emissive fine-tune
+    cfg6 = stage_cfg("pdra", scene_root, logdir + "/relight", 25, extra=[
+        *pdra_extra, "app.phase=test_nvc", f"app.eval.ckpt={ckpt5}",
+    ])
+    a6 = PDRA(cfg6)
+    a6.load_dataset(); a6.load_model(); a6.process()
+    relight_psnr = [
+        json.loads(l).get("test_nvc/metric/lin/PSNR")
+        for l in open(os.path.join(cfg6.log["dir"], "metrics.jsonl"))
+    ]
+    relight_psnr = [p for p in relight_psnr if p is not None]
+    assert relight_psnr and np.isfinite(relight_psnr).all()
+
     # ---- coarse resume from its own ckpt
     cfg2b = stage_cfg("coarse", scene_root, logdir, 140, extra=[
         "app.model.num_voxels=27000", "app.trainer.batch_size=256",
