@@ -115,13 +115,13 @@ class ESRNeRF(VoxurfF):
     def sample_sdf_expgrad(self, sdf_grid: jnp.ndarray, pts: jnp.ndarray):
         """SDF + gradient w.r.t. the sample *coordinates* — the reference
         needs a hand-written differentiable grid sample for this
-        (esrnerf.py:1572-1596); in JAX it's a one-line jax.grad."""
-        def sample_one(p):
-            return self.geo.sample_grid(sdf_grid, p[None])[0, 0]
-
-        sdf = self.geo.sample_grid(sdf_grid, pts)[..., 0]
-        exp_grad = jax.vmap(jax.grad(sample_one))(pts)
-        return sdf, exp_grad
+        (esrnerf.py:1572-1596); here the interpolant's spatial gradient is
+        closed-form from the same 8 corner gathers (still differentiable
+        w.r.t. the grid)."""
+        geo = self.geo
+        return gridops.grid_sample_3d_coordgrad(
+            sdf_grid, pts, jnp.asarray(geo.xyz_min), jnp.asarray(geo.xyz_max)
+        )
 
     def _xyz_emb_full(self, pts: jnp.ndarray) -> jnp.ndarray:
         geo = self.geo

@@ -98,6 +98,221 @@ def grid_sample_3d(
     return out.reshape(*lead_shape, C)
 
 
+def grid_sample_3d_coordgrad(
+    grid: jnp.ndarray,
+    xyz: jnp.ndarray,
+    xyz_min: jnp.ndarray,
+    xyz_max: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trilinear sample of a ``[X,Y,Z,1]`` grid plus the closed-form spatial
+    gradient of the interpolant at each point.
+
+    Replaces autograd-through-sample-coordinates (the reference needs a
+    hand-written differentiable grid sample for this,
+    ``app/utils/base/functions.py:142-309`` / ``esrnerf.py:1572-1596``).
+    Both outputs stay differentiable w.r.t. ``grid`` (through the corner
+    gathers) and w.r.t. ``xyz``. Returns ``(val [M], dval_dxyz [M,3])``.
+    """
+    X, Y, Z, C = grid.shape
+    assert C == 1
+    pts = xyz.reshape(-1, 3)
+    size = jnp.array([X, Y, Z], jnp.int32)
+    idx = normalized_index(pts, xyz_min, xyz_max, (X, Y, Z))
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    frac = idx - i0
+    i1 = i0 + 1
+    v0 = (i0 >= 0) & (i0 < size)
+    v1 = (i1 >= 0) & (i1 < size)
+    c0 = jnp.clip(i0, 0, size - 1)
+    c1 = jnp.clip(i1, 0, size - 1)
+    flat = grid.reshape(-1)
+    yz = Y * Z
+
+    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+    val = jnp.zeros(pts.shape[0], grid.dtype)
+    grad = jnp.zeros((pts.shape[0], 3), grid.dtype)
+    for d in range(8):
+        dx, dy, dz = (d >> 2) & 1, (d >> 1) & 1, d & 1
+        ix = c1[:, 0] if dx else c0[:, 0]
+        iy = c1[:, 1] if dy else c0[:, 1]
+        iz = c1[:, 2] if dz else c0[:, 2]
+        ok = ((v1 if dx else v0)[:, 0] & (v1 if dy else v0)[:, 1]
+              & (v1 if dz else v0)[:, 2]).astype(grid.dtype)
+        v = jnp.take(flat, ix * yz + iy * Z + iz) * ok
+        wx = fx if dx else 1 - fx
+        wy = fy if dy else 1 - fy
+        wz = fz if dz else 1 - fz
+        sx = 1.0 if dx else -1.0
+        sy = 1.0 if dy else -1.0
+        sz = 1.0 if dz else -1.0
+        val = val + v * wx * wy * wz
+        grad = grad + v[:, None] * jnp.stack(
+            [sx * wy * wz, wx * sy * wz, wx * wy * sz], -1
+        )
+    scale = (size.astype(grid.dtype) - 1.0) / (xyz_max - xyz_min)
+    grad = grad * scale[None, :]
+    lead = xyz.shape[:-1]
+    return val.reshape(lead), grad.reshape(*lead, 3)
+
+
+# ---------------------------------------------------------------------------
+# Displaced multi-tap SDF sampler (window-packed).
+#
+# The fine/LTS feature path samples the SDF at 6 axis offsets x D
+# displacements per point (reference ``voxurff.py:678-721``) — 24 trilinear
+# taps = 192 scalar gathers per point. TPU gathers are row-count-bound
+# (~125M rows/s regardless of row width up to ~8 floats, measured on v5e),
+# so the taps are restructured: per axis, all displaced samples of a point
+# live in one W-wide contiguous window of that axis; packing the grid into
+# stride-1 window rows turns the 192 scalar gathers into 12 W-wide row
+# gathers. The backward accumulates per-window-slot cotangents in registers
+# first, then does width-1 scatter-adds (the only fast scatter shape).
+# ---------------------------------------------------------------------------
+
+
+def _axis_perm(axis: int) -> Tuple[int, int, int]:
+    """(b, c, a): grid-axis order with the windowed axis minor."""
+    others = [ax for ax in (0, 1, 2) if ax != axis]
+    return others[0], others[1], axis
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def displaced_taps(grid, pts, xyz_min, xyz_max, displace):
+    """Border-mode trilinear taps at ``pts +- d * voxel`` along each axis.
+
+    grid: [X,Y,Z,1]; pts: [M,3] world coords; displace: static tuple of D
+    voxel displacements. Returns [M, 6, D] in the reference offset order
+    (-z, +z, -y, +y, -x, +x) (``voxurf_base.sample_sdfeat_grad_normal``).
+
+    NOTE: not differentiable w.r.t. ``pts`` (cotangent is zero) — every call
+    site passes ray-geometry points that carry no parameter gradient.
+    """
+    vals, _ = _displaced_taps_fwd_impl(grid, pts, xyz_min, xyz_max, displace)
+    return vals
+
+
+def _window_geometry(grid_shape, pts, xyz_min, xyz_max, displace):
+    """Shared index math for fwd and bwd (no gathers)."""
+    X, Y, Z = grid_shape
+    size_i = np.array([X, Y, Z], np.int32)
+    dd = np.asarray(displace, np.float32)
+    maxd = int(np.ceil(float(dd.max())))
+
+    sizef = jnp.asarray([X, Y, Z], jnp.float32)
+    ind = normalized_index(pts, xyz_min, xyz_max, (X, Y, Z))  # [M,3]
+    ind_c = jnp.clip(ind, 0.0, sizef - 1.0)
+
+    per_axis = []
+    for axis in range(3):
+        b, c, a = _axis_perm(axis)
+        Sa, Sb, Sc = int(size_i[a]), int(size_i[b]), int(size_i[c])
+        W = min(2 * maxd + 2, Sa)
+        ub, uc = ind_c[:, b], ind_c[:, c]
+        i0b = jnp.clip(jnp.floor(ub).astype(jnp.int32), 0, Sb - 2)
+        i0c = jnp.clip(jnp.floor(uc).astype(jnp.int32), 0, Sc - 2)
+        fb = ub - i0b
+        fc = uc - i0c
+
+        f0 = jnp.floor(ind_c[:, a]).astype(jnp.int32)
+        w0 = jnp.clip(f0 - maxd, 0, Sa - W)
+
+        # displaced coords along the axis: [-d, +d] per displacement
+        qm = jnp.clip(ind[:, a, None] - dd[None, :], 0.0, Sa - 1.0)  # [M,D]
+        qp = jnp.clip(ind[:, a, None] + dd[None, :], 0.0, Sa - 1.0)
+        q = jnp.stack([qm, qp], axis=1)  # [M, 2, D] (-,+)
+        i0q = jnp.clip(jnp.floor(q).astype(jnp.int32), 0, Sa - 2)
+        fq = q - i0q
+        rel = i0q - w0[:, None, None]  # in [0, W-2]
+
+        per_axis.append(
+            dict(axis=axis, a=a, b=b, c=c, Sa=Sa, Sb=Sb, Sc=Sc,
+                 i0b=i0b, i0c=i0c, fb=fb, fc=fc, w0=w0, rel=rel, fq=fq,
+                 q=q, W=W)
+        )
+    return per_axis
+
+
+def _pack_axis_table(grid3, axis: int, W: int) -> Tuple[jnp.ndarray, int]:
+    """[X,Y,Z] -> stride-1 window-row table [(B*C*(Sa-W+1)), W]."""
+    b, c, a = _axis_perm(axis)
+    gt = jnp.transpose(grid3, (b, c, a))
+    Sa = gt.shape[-1]
+    n_starts = Sa - W + 1
+    tbl = jnp.stack([gt[..., j:j + n_starts] for j in range(W)], axis=-1)
+    return tbl.reshape(-1, W), n_starts
+
+
+def _displaced_taps_fwd_impl(grid, pts, xyz_min, xyz_max, displace):
+    X, Y, Z, C = grid.shape
+    assert C == 1
+    grid3 = grid[..., 0]
+    per_axis = _window_geometry((X, Y, Z), pts, xyz_min, xyz_max, displace)
+
+    # offset order: (-z, +z, -y, +y, -x, +x) => axis order z, y, x
+    out = []
+    for g in (per_axis[2], per_axis[1], per_axis[0]):
+        W = g["W"]
+        tbl, n_starts = _pack_axis_table(grid3, g["axis"], W)
+        # window-slot selection weights for all 2*D taps: [M, 2, D, W]
+        j = jnp.arange(W)
+        wj = ((j == g["rel"][..., None]) * (1.0 - g["fq"][..., None])
+              + (j == (g["rel"][..., None] + 1)) * g["fq"][..., None])
+        acc = 0.0
+        for db in (0, 1):
+            for dc in (0, 1):
+                row = ((g["i0b"] + db) * g["Sc"] + (g["i0c"] + dc)) * n_starts \
+                    + g["w0"]
+                win = jnp.take(tbl, row, axis=0)  # [M, W]
+                wcol = (jnp.where(db, g["fb"], 1 - g["fb"])
+                        * jnp.where(dc, g["fc"], 1 - g["fc"]))  # [M]
+                acc = acc + wcol[:, None, None] * jnp.einsum(
+                    "mw,msdw->msd", win, wj
+                )
+        out.append(acc)  # [M, 2, D]
+    vals = jnp.concatenate(out, axis=1)  # [M, 6, D] z-,z+,y-,y+,x-,x+
+    return vals, None
+
+
+def _displaced_taps_fwd(grid, pts, xyz_min, xyz_max, displace):
+    vals, _ = _displaced_taps_fwd_impl(grid, pts, xyz_min, xyz_max, displace)
+    return vals, (grid.shape, pts, xyz_min, xyz_max)
+
+
+def _displaced_taps_bwd(displace, res, ct):
+    """ct: [M, 6, D]. Register-accumulated per-window-slot grads, scattered
+    width-1 (wider scatters run ~8x slower on TPU)."""
+    grid_shape, pts, xyz_min, xyz_max = res
+    X, Y, Z, _ = grid_shape
+    per_axis = _window_geometry((X, Y, Z), pts, xyz_min, xyz_max, displace)
+    strides = [Y * Z, Z, 1]
+
+    dflat = jnp.zeros(X * Y * Z, jnp.float32)
+    for k, g in enumerate((per_axis[2], per_axis[1], per_axis[0])):
+        W = g["W"]
+        ct_a = ct[:, 2 * k:2 * k + 2, :]  # [M, 2, D]
+        j = jnp.arange(W)
+        wj = ((j == g["rel"][..., None]) * (1.0 - g["fq"][..., None])
+              + (j == (g["rel"][..., None] + 1)) * g["fq"][..., None])
+        # per-slot cotangent before column weights: [M, W]
+        slot = jnp.einsum("msd,msdw->mw", ct_a, wj)
+        sa, sb, sc = strides[g["a"]], strides[g["b"]], strides[g["c"]]
+        for db in (0, 1):
+            for dc in (0, 1):
+                wcol = (jnp.where(db, g["fb"], 1 - g["fb"])
+                        * jnp.where(dc, g["fc"], 1 - g["fc"]))
+                base = ((g["i0b"] + db) * sb + (g["i0c"] + dc) * sc
+                        + g["w0"] * sa)
+                contrib = slot * wcol[:, None]  # [M, W]
+                for jj in range(W):
+                    dflat = dflat.at[base + jj * sa].add(contrib[:, jj])
+    dgrid = dflat.reshape(X, Y, Z, 1)
+    return dgrid, jnp.zeros_like(pts), jnp.zeros_like(xyz_min), \
+        jnp.zeros_like(xyz_max)
+
+
+displaced_taps.defvjp(_displaced_taps_fwd, _displaced_taps_bwd)
+
+
 def resize_trilinear(grid: jnp.ndarray, new_size: Tuple[int, int, int]) -> jnp.ndarray:
     """Trilinear-resize a ``[X, Y, Z, C]`` grid (align_corners=True).
 

@@ -159,6 +159,107 @@ def neus_alpha_grad(
     return jnp.where(mask, alpha, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# Segmented (flat compacted-list) variants.
+#
+# The march compacts the dense [N, S] grid to a flat [K] list early (before
+# any trainable-grid gather) to cut TPU gather traffic; the per-ray scans
+# then run segmented over the flat list, exactly reproducing the ragged
+# ``ray_id``-continuity semantics of the reference CUDA kernels
+# (``render_utils_kernel.cu:576-651``, ``functions.py:72-105``).
+# ---------------------------------------------------------------------------
+
+
+def alpha2weights_flat(
+    alpha: jnp.ndarray,
+    ray_id: jnp.ndarray,
+    step_id: jnp.ndarray,
+    n_rays: int,
+    n_steps: int,
+    early_exit: float | None = EARLY_EXIT_T,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Segmented equivalent of :func:`alpha2weights` on a flat compacted
+    list. Padded entries use ``ray_id == n_rays`` with ``alpha == 0``.
+    Returns ``(weights [K], alphainv_last [N])``; rays with no entries get
+    ``alphainv_last = 1``.
+
+    Implementation: bridge through a dense *scalar* ``[N, S]`` layout —
+    scatter the flat alphas to their ``(ray, step)`` slot, run the dense
+    masked cumprod scan, gather the weights back. The scalar round-trip is
+    ~2 x K memory ops; a log-depth segmented ``associative_scan`` is
+    asymptotically nicer but takes XLA-TPU ~10 minutes to compile at these
+    shapes (measured), while ``jnp.cumprod`` lowers to a native cumulative
+    op. Exactness: slots without an entry keep alpha 0 (transmittance
+    factor 1), reproducing the ragged CUDA semantics.
+    """
+    dense = jnp.zeros((n_rays + 1, n_steps), alpha.dtype)
+    dense = dense.at[ray_id, step_id].set(alpha, mode="drop")
+    w_dense, alphainv_last = alpha2weights(
+        dense[:n_rays], mask=None, early_exit=early_exit
+    )
+    w_pad = jnp.concatenate(
+        [w_dense, jnp.zeros((1, n_steps), w_dense.dtype)], axis=0
+    )
+    weights = w_pad[jnp.minimum(ray_id, n_rays), step_id]
+    return weights, alphainv_last
+
+
+def neus_alpha_interp_flat(
+    sdf: jnp.ndarray,
+    ray_id: jnp.ndarray,
+    valid: jnp.ndarray,
+    s_val: float | jnp.ndarray,
+) -> jnp.ndarray:
+    """Segmented equivalent of :func:`neus_alpha_interp` on a flat list:
+    each valid entry pairs with the *next/previous valid entry of the same
+    ray* (holes skipped — the ragged pairing of ``functions.py:72-105``);
+    entries without a neighbor pair with themselves."""
+    K = sdf.shape[0]
+    # rank of each entry among valid entries; position list of valid entries
+    cnt = jnp.cumsum(valid.astype(jnp.int32))
+    rank = cnt - 1  # valid entries: 0-based rank
+    (vpos,) = jnp.nonzero(valid, size=K, fill_value=K - 1)
+    n_valid = cnt[-1]
+
+    nxt_rank = rank + 1
+    has_next = valid & (nxt_rank < n_valid)
+    nxt_pos = vpos[jnp.clip(nxt_rank, 0, K - 1)]
+    has_next = has_next & (ray_id[nxt_pos] == ray_id)
+
+    prv_rank = rank - 1
+    has_prev = valid & (prv_rank >= 0)
+    prv_pos = vpos[jnp.clip(prv_rank, 0, K - 1)]
+    has_prev = has_prev & (ray_id[prv_pos] == ray_id)
+
+    est_next = jnp.where(has_next, 0.5 * (sdf + sdf[nxt_pos]), sdf)
+    est_prev = jnp.where(has_prev, 0.5 * (sdf + sdf[prv_pos]), sdf)
+
+    prev_cdf = jax.nn.sigmoid(est_prev * s_val)
+    next_cdf = jax.nn.sigmoid(est_next * s_val)
+    p = jax.nn.relu(prev_cdf - next_cdf)
+    alpha = jnp.clip((p + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+    return jnp.where(valid, alpha, 0.0)
+
+
+def neus_alpha_grad_flat(
+    sdf: jnp.ndarray,
+    gradients: jnp.ndarray,
+    viewdirs_per_pt: jnp.ndarray,
+    dist: float | jnp.ndarray,
+    valid: jnp.ndarray,
+    s_val: float | jnp.ndarray,
+) -> jnp.ndarray:
+    """Flat-list equivalent of :func:`neus_alpha_grad` (purely pointwise)."""
+    iter_cos = (viewdirs_per_pt * gradients).sum(-1) * dist * 0.5
+    est_next = sdf + iter_cos
+    est_prev = sdf - iter_cos
+    prev_cdf = jax.nn.sigmoid(est_prev * s_val)
+    next_cdf = jax.nn.sigmoid(est_next * s_val)
+    p = jax.nn.relu(prev_cdf - next_cdf)
+    alpha = jnp.clip((p + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+    return jnp.where(valid, alpha, 0.0)
+
+
 def segment_mean(values: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """Weighted per-ray reduction: sum over S of ``weights * values``.
 
