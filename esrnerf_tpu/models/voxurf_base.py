@@ -23,6 +23,7 @@ import numpy as np
 from esrnerf_tpu.ops import grid as gridops
 from esrnerf_tpu.ops import ray as rayops
 from esrnerf_tpu.ops import render as renderops
+from esrnerf_tpu.ops import scan as scanops
 
 Params = Dict[str, jnp.ndarray]
 
@@ -265,37 +266,60 @@ class VoxurfGeometry:
         exact = ~pad1 & self.mask_cache.query(pts1)
         sdf1 = self.sample_grid(sdf_grid_smooth, pts1)[..., 0]  # [K1]
 
+        # ---- dense scalar bridge: scatter the compacted scalars back to
+        # their (ray, step) slot so the neighbor pairing and transmittance
+        # scans run on the dense [N, S] layout (cheap sequential scans /
+        # the Pallas kernel) instead of as flat-list gather chains
+        lin = jnp.minimum(ray1, N) * S + step1  # pads land in row N
+        dsize = (N + 1) * S
+
+        def to_dense(x, fill=0):
+            full = jnp.full(dsize, fill, x.dtype).at[lin].set(x, mode="drop")
+            return full.reshape(N + 1, S)[:N]
+
+        def to_flat(x_dense):
+            padded = jnp.concatenate(
+                [x_dense.reshape(-1), jnp.zeros(S, x_dense.dtype)]
+            )
+            return padded[lin]
+
         if neus_alpha == "grad":
             assert gradient_grid is not None
             grad1 = self.sample_grid(gradient_grid, pts1)
             vd1 = viewdirs[jnp.minimum(ray1, N - 1)]
-            alpha = renderops.neus_alpha_grad_flat(
+            alpha_f = renderops.neus_alpha_grad_flat(
                 sdf1, grad1, vd1, self.stepdist, exact, s_val
             )
+            alpha_d = to_dense(alpha_f)
         else:
-            alpha = renderops.neus_alpha_interp_flat(sdf1, ray1, exact, s_val)
+            sdf_d = to_dense(sdf1)
+            val_d = to_dense(exact)
+            alpha_d = renderops.neus_alpha_interp(sdf_d, val_d, s_val)
 
         if style == "fine":
-            pre = exact & (alpha > fastcolor_thres)
-            alpha1 = jnp.where(pre, alpha, 0.0)
-            weights1, alphainv_last = renderops.alpha2weights_flat(
-                alpha1, ray1, step1, N, S
+            pre_d = alpha_d > fastcolor_thres  # alpha is 0 at invalid slots
+            a1_d = jnp.where(pre_d, alpha_d, 0.0)
+            w1_d, alphainv_last = scanops.alpha2weights_pallas(
+                a1_d, renderops.EARLY_EXIT_T
             )
-            keep = weights1 > fastcolor_thres
-            alpha2 = jnp.where(keep, alpha1, 0.0)
-            weights = jnp.where(keep, weights1, 0.0)  # no re-scan
+            keep_d = w1_d > fastcolor_thres
+            alpha2_d = jnp.where(keep_d, a1_d, 0.0)
+            w_d = jnp.where(keep_d, w1_d, 0.0)  # no re-scan
         else:
-            weights1, _ = renderops.alpha2weights_flat(
-                jnp.where(exact, alpha, 0.0), ray1, step1, N, S
+            w1_d, _ = scanops.alpha2weights_pallas(
+                alpha_d, renderops.EARLY_EXIT_T
             )
-            keep = weights1 > fastcolor_thres
-            alpha2 = jnp.where(keep, alpha, 0.0)
-            weights, alphainv_last = renderops.alpha2weights_flat(
-                alpha2, ray1, step1, N, S
+            keep_d = w1_d > fastcolor_thres
+            alpha2_d = jnp.where(keep_d, alpha_d, 0.0)
+            w_d, alphainv_last = scanops.alpha2weights_pallas(
+                alpha2_d, renderops.EARLY_EXIT_T
             )
 
+        keep = to_flat(keep_d) & ~pad1
+        alpha2 = to_flat(alpha2_d)
+        weights = to_flat(w_d)
+
         # ---- phase-2 compaction to the static K2 head budget
-        keep = keep & ~pad1
         n2 = keep.sum()
         (idx2,) = jnp.nonzero(keep, size=K2, fill_value=-1)
         pad = idx2 < 0

@@ -190,17 +190,25 @@ def alpha2weights_flat(
     asymptotically nicer but takes XLA-TPU ~10 minutes to compile at these
     shapes (measured), while ``jnp.cumprod`` lowers to a native cumulative
     op. Exactness: slots without an entry keep alpha 0 (transmittance
-    factor 1), reproducing the ragged CUDA semantics.
+    factor 1), reproducing the ragged CUDA semantics. The scan itself runs
+    in the Pallas kernel (:mod:`esrnerf_tpu.ops.scan`), which implements the
+    CUDA kernel's sequential T-update + early exit + reverse-scan backward
+    directly.
     """
-    dense = jnp.zeros((n_rays + 1, n_steps), alpha.dtype)
-    dense = dense.at[ray_id, step_id].set(alpha, mode="drop")
-    w_dense, alphainv_last = alpha2weights(
-        dense[:n_rays], mask=None, early_exit=early_exit
+    from esrnerf_tpu.ops import scan as scanops
+
+    lin = jnp.minimum(ray_id, n_rays) * n_steps + step_id
+    dense = (
+        jnp.zeros((n_rays + 1) * n_steps, alpha.dtype)
+        .at[lin].set(alpha, mode="drop")
+        .reshape(n_rays + 1, n_steps)
     )
-    w_pad = jnp.concatenate(
-        [w_dense, jnp.zeros((1, n_steps), w_dense.dtype)], axis=0
+    ee = -1.0 if early_exit is None else float(early_exit)
+    w_dense, alphainv_last = scanops.alpha2weights_pallas(dense[:n_rays], ee)
+    w_flat = jnp.concatenate(
+        [w_dense.reshape(-1), jnp.zeros(n_steps, w_dense.dtype)]
     )
-    weights = w_pad[jnp.minimum(ray_id, n_rays), step_id]
+    weights = w_flat[lin]
     return weights, alphainv_last
 
 

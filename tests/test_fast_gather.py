@@ -74,7 +74,7 @@ def test_displaced_taps_grid_gradient(rng):
             ind[:, None, None, :]
             + base[None, :, None, :] * dd[None, None, :, None],
             0.0, size - 1.0)
-        vals = gridops.grid_sample_3d(
+        vals = gridops.grid_sample_3d_impl(
             g, all_ind, jnp.zeros(3), size - 1.0, mode="border")[..., 0]
         return (vals * ct).sum()
 
@@ -83,6 +83,33 @@ def test_displaced_taps_grid_gradient(rng):
     np.testing.assert_allclose(
         np.asarray(g_fast), np.asarray(g_dense), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("mode", ["zeros", "border"])
+@pytest.mark.parametrize("C", [1, 6])
+def test_grid_sample_custom_vjp_matches_impl(rng, mode, C):
+    """The production sampler's scalar-scatter backward must equal native
+    autodiff of the reference implementation."""
+    X, Y, Z = 13, 11, 9
+    grid = jnp.asarray(rng.normal(size=(X, Y, Z, C)).astype(np.float32))
+    lo = jnp.asarray([-1.0, -1.0, -1.0])
+    hi = jnp.asarray([1.0, 1.0, 1.0])
+    pts = jnp.asarray(rng.uniform(-1.15, 1.15, (257, 3)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(257, C)).astype(np.float32))
+
+    out = gridops.grid_sample_3d(grid, pts, lo, hi, mode)
+    ref = gridops.grid_sample_3d_impl(grid, pts, lo, hi, mode)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    g_fast = jax.grad(
+        lambda g: (gridops.grid_sample_3d(g, pts, lo, hi, mode) * ct).sum()
+    )(grid)
+    g_ref = jax.grad(
+        lambda g: (gridops.grid_sample_3d_impl(g, pts, lo, hi, mode) * ct).sum()
+    )(grid)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_coordgrad_matches_autograd(rng):
@@ -97,7 +124,7 @@ def test_coordgrad_matches_autograd(rng):
     ref_val = gridops.grid_sample_3d(grid, pts, lo, hi)[..., 0]
 
     def one(p):
-        return gridops.grid_sample_3d(grid, p[None], lo, hi)[0, 0]
+        return gridops.grid_sample_3d_impl(grid, p[None], lo, hi)[0, 0]
 
     ref_dxyz = jax.vmap(jax.grad(one))(pts)
 
@@ -115,7 +142,7 @@ def test_coordgrad_matches_autograd(rng):
 
     def dense(g):
         def one(p):
-            return gridops.grid_sample_3d(g, p[None], lo, hi)[0, 0]
+            return gridops.grid_sample_3d_impl(g, p[None], lo, hi)[0, 0]
         return (jax.vmap(jax.grad(one))(pts) * ct).sum()
 
     np.testing.assert_allclose(

@@ -47,14 +47,16 @@ def test_grid_sample_matches_torch(mode, padding):
 
 def test_grid_sample_grad_wrt_coords():
     """Coordinate gradients must flow (replaces the reference's hand-written
-    differentiable_grid_sample, functions.py:142-309)."""
+    differentiable_grid_sample, functions.py:142-309). The production
+    grid_sample_3d deliberately has a zero coord-cotangent; coordinate
+    gradients come from grid_sample_3d_impl / grid_sample_3d_coordgrad."""
     grid = jnp.asarray(np.random.default_rng(1).normal(size=(5, 5, 5, 1)),
                        dtype=jnp.float32)
     mn = jnp.zeros(3)
     mx = jnp.ones(3) * 4.0
 
     def f(p):
-        return gridops.grid_sample_3d(grid, p, mn, mx).sum()
+        return gridops.grid_sample_3d_impl(grid, p, mn, mx).sum()
 
     p0 = jnp.array([[1.3, 2.7, 0.9]], dtype=jnp.float32)
     g = jax.grad(f)(p0)
