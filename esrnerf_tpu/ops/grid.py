@@ -210,6 +210,20 @@ def _grid_sample_3d_fwd(grid, xyz, xyz_min, xyz_max, mode):
 def _grid_sample_3d_bwd(mode, res, ct):
     grid_shape, xyz, xyz_min, xyz_max = res
     X, Y, Z, C = grid_shape
+    if mode == "zeros":
+        # sorted-stream Pallas splat (ops.splat): sorts the points by base
+        # cell once (XLA CSE dedupes the sort across every grid sampled at
+        # the same points in a step) and applies the corner streams with
+        # one-hot MXU matmuls — ~5-10x faster than XLA's table-sweep
+        # scatter lowering on v5e
+        from esrnerf_tpu.ops import splat as splatops
+
+        dgrid = splatops.trilinear_splat(
+            grid_shape, xyz.reshape(-1, 3), ct.reshape(-1, C),
+            xyz_min, xyz_max,
+        )
+        return (dgrid, jnp.zeros_like(xyz), jnp.zeros_like(xyz_min),
+                jnp.zeros_like(xyz_max))
     lins, wts = _corner_lins_weights(grid_shape, xyz, xyz_min, xyz_max, mode)
     ctf = ct.reshape(-1, C)
     # [M, 8, C] contributions -> flat scalar scatter into [X*Y*Z*C]
@@ -406,33 +420,15 @@ def _displaced_taps_fwd(grid, pts, xyz_min, xyz_max, displace):
 
 
 def _displaced_taps_bwd(displace, res, ct):
-    """ct: [M, 6, D]. Register-accumulated per-window-slot grads, scattered
-    width-1 (wider scatters run ~8x slower on TPU)."""
+    """ct: [M, 6, D] -> sorted-stream Pallas splat (ops.splat): per axis the
+    window taps become 2 sorted corner streams x (corner x slot) channels,
+    un-folded by a dense shear pass."""
     grid_shape, pts, xyz_min, xyz_max = res
-    X, Y, Z, _ = grid_shape
-    per_axis = _window_geometry((X, Y, Z), pts, xyz_min, xyz_max, displace)
-    strides = [Y * Z, Z, 1]
+    from esrnerf_tpu.ops import splat as splatops
 
-    dflat = jnp.zeros(X * Y * Z, jnp.float32)
-    for k, g in enumerate((per_axis[2], per_axis[1], per_axis[0])):
-        W = g["W"]
-        ct_a = ct[:, 2 * k:2 * k + 2, :]  # [M, 2, D]
-        j = jnp.arange(W)
-        wj = ((j == g["rel"][..., None]) * (1.0 - g["fq"][..., None])
-              + (j == (g["rel"][..., None] + 1)) * g["fq"][..., None])
-        # per-slot cotangent before column weights: [M, W]
-        slot = jnp.einsum("msd,msdw->mw", ct_a, wj)
-        sa, sb, sc = strides[g["a"]], strides[g["b"]], strides[g["c"]]
-        for db in (0, 1):
-            for dc in (0, 1):
-                wcol = (jnp.where(db, g["fb"], 1 - g["fb"])
-                        * jnp.where(dc, g["fc"], 1 - g["fc"]))
-                base = ((g["i0b"] + db) * sb + (g["i0c"] + dc) * sc
-                        + g["w0"] * sa)
-                contrib = slot * wcol[:, None]  # [M, W]
-                for jj in range(W):
-                    dflat = dflat.at[base + jj * sa].add(contrib[:, jj])
-    dgrid = dflat.reshape(X, Y, Z, 1)
+    dgrid = splatops.displaced_taps_splat(
+        grid_shape, pts, ct, xyz_min, xyz_max, displace
+    )
     return dgrid, jnp.zeros_like(pts), jnp.zeros_like(xyz_min), \
         jnp.zeros_like(xyz_max)
 

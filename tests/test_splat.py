@@ -1,0 +1,71 @@
+"""Oracle tests for the sorted-stream splat (ops/splat.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from esrnerf_tpu.ops import splat as splatops
+from esrnerf_tpu.ops import grid as gridops
+
+
+def _mk_streams(rng, M, S, C, n_cells, spread):
+    base = np.sort(rng.integers(-4, spread, size=M)).astype(np.int32)
+    vals = rng.standard_normal((S, C, M)).astype(np.float32)
+    offsets = tuple(int(o) for o in rng.integers(0, 300, size=S))
+    # contract: zero vals where target out of range
+    for s in range(S):
+        idx = base + offsets[s]
+        bad = (idx < 0) | (idx >= n_cells)
+        vals[s, :, bad] = 0.0
+    return base, vals, offsets
+
+
+@pytest.mark.parametrize("M,S,C,n_cells", [
+    (1000, 8, 1, 5000),
+    (3000, 3, 6, 70000),
+    (17, 2, 2, 40000),
+])
+def test_splat_matches_oracle_fallback(M, S, C, n_cells):
+    rng = np.random.default_rng(0)
+    base, vals, offsets = _mk_streams(rng, M, S, C, n_cells, n_cells)
+    out = splatops.sorted_streams_splat(
+        jnp.asarray(base), jnp.asarray(vals), offsets, n_cells
+    )
+    ref = splatops.splat_oracle(base, vals, offsets, n_cells)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_splat_kernel_interpret():
+    """The Pallas kernel itself (interpret mode) against the oracle."""
+    rng = np.random.default_rng(1)
+    n_cells = 130 * 128 + 17  # force padding + several blocks
+    base, vals, offsets = _mk_streams(rng, 2500, 4, 3, n_cells, n_cells)
+    out = splatops.sorted_streams_splat(
+        jnp.asarray(base), jnp.asarray(vals), offsets, n_cells,
+        block_tiles=16, interpret=True,
+    )
+    ref = splatops.splat_oracle(base, vals, offsets, n_cells)
+    # the kernel carries values as a bf16 hi+lo split (~16 mantissa bits)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-4, atol=5e-5)
+
+
+def test_trilinear_splat_is_grid_sample_adjoint():
+    rng = np.random.default_rng(2)
+    shape = (9, 8, 7, 3)
+    pts = rng.uniform(-0.1, 1.1, size=(400, 3)).astype(np.float32)
+    ct = rng.standard_normal((400, 3)).astype(np.float32)
+    mn = jnp.zeros(3)
+    mx = jnp.ones(3)
+
+    grad = splatops.trilinear_splat(
+        shape, jnp.asarray(pts), jnp.asarray(ct), mn, mx
+    )
+
+    g0 = jnp.zeros(shape)
+    _, vjp = jax.vjp(
+        lambda g: gridops.grid_sample_3d_impl(g, jnp.asarray(pts), mn, mx), g0
+    )
+    (want,) = vjp(jnp.asarray(ct))
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
