@@ -111,6 +111,16 @@ def main():
         )
     jax.block_until_ready(loss)
 
+    trace_dir = os.environ.get("BENCH_TRACE_DIR")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            for i in range(3):
+                ro, rd, vd, em, rgbs = batches[i % len(batches)]
+                params, opt_state, loss = train_step(
+                    params, opt_state, ro, rd, vd, em, rgbs, jnp.float32(80.0)
+                )
+            jax.block_until_ready(loss)
+
     t0 = time.perf_counter()
     for i in range(iters):
         ro, rd, vd, em, rgbs = batches[i % len(batches)]

@@ -269,12 +269,18 @@ class VoxurfGeometry:
         # ---- dense scalar bridge: scatter the compacted scalars back to
         # their (ray, step) slot so the neighbor pairing and transmittance
         # scans run on the dense [N, S] layout (cheap sequential scans /
-        # the Pallas kernel) instead of as flat-list gather chains
+        # the Pallas kernel) instead of as flat-list gather chains.
+        # lin is ascending (phase-1 compaction preserves ray-major order,
+        # pads land in row N at the end), so the sorted splat kernel
+        # applies (~3x faster than XLA's scatter lowering).
         lin = jnp.minimum(ray1, N) * S + step1  # pads land in row N
         dsize = (N + 1) * S
 
+        from esrnerf_tpu.ops import splat as splatops
+
         def to_dense(x, fill=0):
-            full = jnp.full(dsize, fill, x.dtype).at[lin].set(x, mode="drop")
+            assert fill == 0
+            full = splatops.sorted_scatter_1d(lin, x, dsize)
             return full.reshape(N + 1, S)[:N]
 
         def to_flat(x_dense):

@@ -137,18 +137,88 @@ def _corner_lins_weights(grid_shape, xyz, xyz_min, xyz_max, mode):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def grid_sample_3d(grid, xyz, xyz_min, xyz_max, mode="zeros"):
     """Production trilinear sampler — same semantics as
-    :func:`grid_sample_3d_impl`, but the grid-gradient is a single flat
-    width-1 scatter (channel folded into the index). XLA-TPU lowers scalar
-    scatters through a fast sort+segment path (~9ms/M entries) while
-    multi-channel scatters take a ~8x slower element-loop path (measured on
-    v5e; this is the difference between 710ms and ~250ms of color-grid
-    backward per fine-stage train step).
+    :func:`grid_sample_3d_impl`, but restructured for TPU gather/scatter
+    characteristics (row-count-bound gathers, table-sweep-bound scatters):
+
+    - narrow grids (C<=2) sample through a **corner-packed table** — all 8
+      corner values of a cell packed into one row by cheap shifted slices,
+      so the forward is ONE [M, 8C]-row gather instead of 4-8;
+    - wide grids use z-pair-packed rows (4 gathers of width 2C);
+    - the grid-gradient is the sorted-stream Pallas splat (ops.splat).
 
     NOT differentiable w.r.t. ``xyz`` (zero cotangent) — all call sites
     sample at ray-geometry points that carry no parameter gradient; use
     :func:`grid_sample_3d_coordgrad` where the spatial gradient is needed.
     """
+    C = grid.shape[-1]
+    if mode == "zeros" and C <= 2:
+        return _grid_sample_3d_packed(grid, xyz, xyz_min, xyz_max)
     return _grid_sample_3d_pairs(grid, xyz, xyz_min, xyz_max, mode)
+
+
+def corner_offsets_dmajor(Y: int, Z: int):
+    """Corner linear offsets in d = dx*4+dy*2+dz order."""
+    return [(d >> 2 & 1) * Y * Z + (d >> 1 & 1) * Z + (d & 1)
+            for d in range(8)]
+
+
+def corner_pack(grid: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """[X,Y,Z,C] -> [X*Y*Z + 2*pad, 8*C] table: row ``base + pad`` holds the
+    8 corner values of the cell at linear index ``base`` (d-major), built
+    from shifted slices of the flat grid (differentiable; the adjoint is a
+    few shifted adds). ``pad`` rows of zeros on both sides let callers clip
+    slightly out-of-range bases safely."""
+    X, Y, Z, C = grid.shape
+    n = X * Y * Z
+    flat = grid.reshape(n, C)
+    offs = corner_offsets_dmajor(Y, Z)
+    top = max(offs)
+    padded = jnp.pad(flat, ((pad, pad + top), (0, 0)))
+    # row r (= base + pad) corner-d value = flat[r - pad + offs[d]]
+    cols = [padded[o:o + n + 2 * pad] for o in offs]
+    return jnp.concatenate(cols, axis=1)  # [n + 2*pad, 8C]
+
+
+def _packed_base_weights(grid_shape, xyz, xyz_min, xyz_max):
+    X, Y, Z, C = grid_shape
+    pts = xyz.reshape(-1, 3)
+    idx = normalized_index(pts, xyz_min, xyz_max, (X, Y, Z))
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    base = (i0[:, 0] * Y + i0[:, 1]) * Z + i0[:, 2]
+    size = jnp.array([X, Y, Z], jnp.int32)
+    v0 = (i0 >= 0) & (i0 < size)
+    v1 = (i0 + 1 >= 0) & (i0 + 1 < size)
+    frac = idx - i0
+    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+    w = []
+    for d in range(8):
+        dx, dy, dz = d >> 2 & 1, d >> 1 & 1, d & 1
+        ok = ((v1 if dx else v0)[:, 0] & (v1 if dy else v0)[:, 1]
+              & (v1 if dz else v0)[:, 2])
+        w.append(
+            (fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+            * (fz if dz else 1 - fz) * ok
+        )
+    return base, jnp.stack(w, 1)  # [M], [M, 8]
+
+
+_PACK_PAD_CACHE = {}
+
+
+def _grid_sample_3d_packed(grid, xyz, xyz_min, xyz_max):
+    """Zeros-mode trilinear sample via the corner-packed table: one wide
+    row gather per point. The table build is shifted slices (XLA CSE shares
+    it across every sample of the same grid in a step)."""
+    X, Y, Z, C = grid.shape
+    n = X * Y * Z
+    pad = Y * Z + Z + 2
+    table = corner_pack(grid, pad)
+    base, wts = _packed_base_weights(grid.shape, xyz, xyz_min, xyz_max)
+    rows = jnp.take(table, jnp.clip(base + pad, 0, n + 2 * pad - 1), axis=0)
+    out = jnp.einsum(
+        "md,mdc->mc", wts, rows.reshape(-1, 8, C)
+    )
+    return out.reshape(*xyz.shape[:-1], C)
 
 
 def _grid_sample_3d_pairs(grid, xyz, xyz_min, xyz_max, mode):
@@ -203,7 +273,11 @@ def _grid_sample_3d_pairs(grid, xyz, xyz_min, xyz_max, mode):
 
 
 def _grid_sample_3d_fwd(grid, xyz, xyz_min, xyz_max, mode):
-    out = _grid_sample_3d_pairs(grid, xyz, xyz_min, xyz_max, mode)
+    C = grid.shape[-1]
+    if mode == "zeros" and C <= 2:
+        out = _grid_sample_3d_packed(grid, xyz, xyz_min, xyz_max)
+    else:
+        out = _grid_sample_3d_pairs(grid, xyz, xyz_min, xyz_max, mode)
     return out, (grid.shape, xyz, xyz_min, xyz_max)
 
 

@@ -31,7 +31,7 @@ equivalent.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -264,6 +264,37 @@ def sorted_streams_splat(
     return out
 
 
+def sorted_scatter_1d(idx_sorted: jnp.ndarray, x: jnp.ndarray,
+                      size: int) -> jnp.ndarray:
+    """Scatter ``x [M]`` to a zero [size] array at ascending (unique up to
+    droppable duplicates) indices — the march's dense-bridge scatter,
+    through the splat kernel instead of XLA's table-sweep lowering."""
+    if x.dtype == jnp.bool_:
+        out = _sorted_scatter_f32(idx_sorted, x.astype(jnp.float32), size)
+        return out > 0.5
+    return _sorted_scatter_f32(idx_sorted, x.astype(jnp.float32), size
+                               ).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sorted_scatter_f32(idx_sorted, x, size):
+    return sorted_streams_splat(
+        idx_sorted, x[None, None, :], (0,), size
+    )[:, 0]
+
+
+def _sorted_scatter_f32_fwd(idx_sorted, x, size):
+    return _sorted_scatter_f32(idx_sorted, x, size), idx_sorted
+
+
+def _sorted_scatter_f32_bwd(size, idx_sorted, ct):
+    # unique indices => the adjoint is a plain gather
+    return jnp.zeros_like(idx_sorted), jnp.take(ct, idx_sorted)
+
+
+_sorted_scatter_f32.defvjp(_sorted_scatter_f32_fwd, _sorted_scatter_f32_bwd)
+
+
 def displaced_taps_splat(
     grid_shape: Sequence[int],
     pts: jnp.ndarray,
@@ -363,54 +394,63 @@ def trilinear_splat(
     ct: jnp.ndarray,
     xyz_min: jnp.ndarray,
     xyz_max: jnp.ndarray,
+    fold: Optional[int] = None,
 ) -> jnp.ndarray:
     """Adjoint of zeros-mode trilinear sampling: splat per-point cotangents
     ``ct [M, C]`` at ``pts [M, 3]`` into a zero grid of ``grid_shape``
     ([X,Y,Z,C]). Equals ``grid_sample_3d_impl``'s grid-gradient.
+
+    ``fold`` of the 8 corners ride as kernel channels (fewer, cheaper
+    streams; bigger [n_cells, fold*C] shear table). Default: all 8 for
+    small C, 4 for wide color grids (keeps the transient table < ~2 GB).
     """
     from esrnerf_tpu.ops.grid import normalized_index
 
     X, Y, Z, C = grid_shape
     n_cells = X * Y * Z
+    if fold is None:
+        fold = 8 if C <= 2 else 4
+    assert fold in (2, 4, 8)
 
     idx = normalized_index(pts, xyz_min, xyz_max, (X, Y, Z))
     i0 = jnp.floor(idx).astype(jnp.int32)
     base = (i0[:, 0] * Y + i0[:, 1]) * Z + i0[:, 2]
 
+    size = jnp.array([X, Y, Z], jnp.int32)
+    v0 = (i0 >= 0) & (i0 < size)
+    v1 = (i0 + 1 >= 0) & (i0 + 1 < size)
+    fx, fy, fz = idx[:, 0] - i0[:, 0], idx[:, 1] - i0[:, 1], idx[:, 2] - i0[:, 2]
+
+    # one [M, 8C] value matrix in unsorted order, permuted by a single row
+    # gather after the key sort (TPU gathers are row-count-bound: one wide
+    # gather beats one per payload)
+    w = []
+    for d in range(8):
+        dx, dy, dz = d >> 2 & 1, d >> 1 & 1, d & 1
+        ok = ((v1 if dx else v0)[:, 0] & (v1 if dy else v0)[:, 1]
+              & (v1 if dz else v0)[:, 2])
+        w.append(
+            (fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+            * (fz if dz else 1 - fz) * ok
+        )
+    wts = jnp.stack(w, 1)  # [M, 8] corner order d = dx*4+dy*2+dz
+    vals_mat = (wts[:, :, None] * ct[:, None, :]).reshape(-1, 8 * C)
+
     order = jnp.argsort(base)
     base_s = base[order]
-    i0_s = i0[order]
-    frac_s = idx[order] - i0_s
-    ct_s = ct[order]
+    vals_s = vals_mat[order]  # [M, 8C]
 
-    size = jnp.array([X, Y, Z], jnp.int32)
-    v0 = (i0_s >= 0) & (i0_s < size)
-    v1 = (i0_s + 1 >= 0) & (i0_s + 1 < size)
-    fx, fy, fz = frac_s[:, 0], frac_s[:, 1], frac_s[:, 2]
+    # corners split into S streams (leading bits of d) x `fold` channels
+    S = 8 // fold
+    offs_all = [(d >> 2 & 1) * Y * Z + (d >> 1 & 1) * Z + (d & 1)
+                for d in range(8)]
+    stream_offs = tuple(offs_all[s * fold] for s in range(S))
+    shifts = [offs_all[c] for c in range(fold)]  # relative within a stream
+    pad = max(shifts) + 2
 
-    # streams: dx in {0, 1}; channels: (dy, dz) x C, sheared by dy*Z + dz.
-    # rows are written at base + dx*YZ and shifted to their true cell by a
-    # dense shear pass; pad keeps rows of boundary points non-negative.
-    shifts = [0, 1, Z, Z + 1]  # (dy,dz) = (0,0),(0,1),(1,0),(1,1)
-    pad = Z + 2
-    vals = []
-    for dx in (0, 1):
-        okx = (v1 if dx else v0)[:, 0]
-        wx = (fx if dx else 1 - fx) * okx
-        chan = []
-        for dy in (0, 1):
-            oky = (v1 if dy else v0)[:, 1]
-            wy = (fy if dy else 1 - fy) * oky
-            for dz in (0, 1):
-                okz = (v1 if dz else v0)[:, 2]
-                wz = (fz if dz else 1 - fz) * okz
-                w = wx * wy * wz  # [M]
-                chan.append(w[None, :] * ct_s.T)  # [C, M]
-        vals.append(jnp.concatenate(chan, axis=0))  # [4C, M]
-    vals = jnp.stack(vals, 0)  # [2, 4C, M]
-
+    vals = vals_s.reshape(-1, S, fold * C).transpose(1, 2, 0)  # [S, fC, M]
     out2 = sorted_streams_splat(
-        base_s + pad, vals, (0, Y * Z), n_cells + 2 * pad
+        base_s + pad, vals, stream_offs, n_cells + 2 * pad
     )
     flat = shear_combine(out2, shifts, n_cells, C, pad)
     return flat.reshape(X, Y, Z, C)
