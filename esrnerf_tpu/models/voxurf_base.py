@@ -283,12 +283,6 @@ class VoxurfGeometry:
             full = splatops.sorted_scatter_1d(lin, x, dsize)
             return full.reshape(N + 1, S)[:N]
 
-        def to_flat(x_dense):
-            padded = jnp.concatenate(
-                [x_dense.reshape(-1), jnp.zeros(S, x_dense.dtype)]
-            )
-            return padded[lin]
-
         if neus_alpha == "grad":
             assert gradient_grid is not None
             grad1 = self.sample_grid(gradient_grid, pts1)
@@ -321,9 +315,19 @@ class VoxurfGeometry:
                 alpha2_d, renderops.EARLY_EXIT_T
             )
 
-        keep = to_flat(keep_d) & ~pad1
-        alpha2 = to_flat(alpha2_d)
-        weights = to_flat(w_d)
+        # flatten the dense scan products back to the compacted list with
+        # ONE wide row gather (row-count-bound on TPU; 3 scalar gathers
+        # would cost 3x) whose adjoint is the sorted splat kernel
+        dense3 = jnp.stack(
+            [keep_d.astype(jnp.float32), alpha2_d, w_d], -1
+        ).reshape(-1, 3)
+        dense3 = jnp.concatenate(
+            [dense3, jnp.zeros((S, 3), dense3.dtype)]
+        )
+        flat3 = splatops.sorted_gather_rows(dense3, lin)  # [K1, 3]
+        keep = (flat3[:, 0] > 0.5) & ~pad1
+        alpha2 = flat3[:, 1]
+        weights = flat3[:, 2]
 
         # ---- phase-2 compaction to the static K2 head budget
         n2 = keep.sum()
@@ -331,12 +335,19 @@ class VoxurfGeometry:
         pad = idx2 < 0
         idx2c = jnp.maximum(idx2, 0)
 
-        pts_c = pts1[idx2c]
-        w_c = jnp.where(pad, 0.0, weights[idx2c])
-        a_c = jnp.where(pad, 0.0, alpha2[idx2c])
-        sdf_c = jnp.where(pad, 0.0, sdf1[idx2c])
-        ray_c = jnp.where(pad, N, ray1[idx2c])
-        step_c = jnp.where(pad, 0, step1[idx2c])
+        # same wide-row trick for the phase-2 buffers
+        pack1 = jnp.concatenate(
+            [pts1, weights[:, None], alpha2[:, None], sdf1[:, None]], -1
+        )  # [K1, 6]
+        pack2 = splatops.sorted_gather_rows(pack1, idx2c)  # [K2, 6]
+        lin2 = jnp.take(lin, idx2c)
+
+        pts_c = pack2[:, 0:3]
+        w_c = jnp.where(pad, 0.0, pack2[:, 3])
+        a_c = jnp.where(pad, 0.0, pack2[:, 4])
+        sdf_c = jnp.where(pad, 0.0, pack2[:, 5])
+        ray_c = jnp.where(pad, N, lin2 // S)
+        step_c = jnp.where(pad, 0, lin2 % S)
 
         cum_weights = jax.ops.segment_sum(w_c, ray_c, num_segments=N + 1)[:N]
         overflow = jnp.maximum(

@@ -152,7 +152,10 @@ def grid_sample_3d(grid, xyz, xyz_min, xyz_max, mode="zeros"):
     """
     C = grid.shape[-1]
     if mode == "zeros" and C <= 2:
-        return _grid_sample_3d_packed(grid, xyz, xyz_min, xyz_max)
+        # corner packing pays when gathered rows >> table rows (the table
+        # rebuild is 8C columns wide); wide color grids stay on the z-pair
+        # path
+        return _grid_sample_3d_packed(grid, xyz, xyz_min, xyz_max, 8)
     return _grid_sample_3d_pairs(grid, xyz, xyz_min, xyz_max, mode)
 
 
@@ -162,21 +165,23 @@ def corner_offsets_dmajor(Y: int, Z: int):
             for d in range(8)]
 
 
-def corner_pack(grid: jnp.ndarray, pad: int) -> jnp.ndarray:
-    """[X,Y,Z,C] -> [X*Y*Z + 2*pad, 8*C] table: row ``base + pad`` holds the
-    8 corner values of the cell at linear index ``base`` (d-major), built
-    from shifted slices of the flat grid (differentiable; the adjoint is a
-    few shifted adds). ``pad`` rows of zeros on both sides let callers clip
+def corner_pack(grid: jnp.ndarray, pad: int, fold: int = 8) -> jnp.ndarray:
+    """[X,Y,Z,C] -> [X*Y*Z + 2*pad, fold*C] table: row ``base + pad`` holds
+    the first ``fold`` corner values (d-major) of the cell at linear index
+    ``base``, built from shifted slices of the flat grid (differentiable;
+    the adjoint is a few shifted adds). With fold=4 the table covers the
+    (dy,dz) corners; the dx=1 corners are the same table read at
+    ``base + Y*Z``. ``pad`` zero rows on both sides let callers clip
     slightly out-of-range bases safely."""
     X, Y, Z, C = grid.shape
     n = X * Y * Z
     flat = grid.reshape(n, C)
-    offs = corner_offsets_dmajor(Y, Z)
-    top = max(offs)
+    offs = corner_offsets_dmajor(Y, Z)[:fold]
+    top = max(corner_offsets_dmajor(Y, Z))
     padded = jnp.pad(flat, ((pad, pad + top), (0, 0)))
     # row r (= base + pad) corner-d value = flat[r - pad + offs[d]]
     cols = [padded[o:o + n + 2 * pad] for o in offs]
-    return jnp.concatenate(cols, axis=1)  # [n + 2*pad, 8C]
+    return jnp.concatenate(cols, axis=1)  # [n + 2*pad, fold*C]
 
 
 def _packed_base_weights(grid_shape, xyz, xyz_min, xyz_max):
@@ -202,22 +207,23 @@ def _packed_base_weights(grid_shape, xyz, xyz_min, xyz_max):
     return base, jnp.stack(w, 1)  # [M], [M, 8]
 
 
-_PACK_PAD_CACHE = {}
-
-
-def _grid_sample_3d_packed(grid, xyz, xyz_min, xyz_max):
-    """Zeros-mode trilinear sample via the corner-packed table: one wide
-    row gather per point. The table build is shifted slices (XLA CSE shares
-    it across every sample of the same grid in a step)."""
+def _grid_sample_3d_packed(grid, xyz, xyz_min, xyz_max, fold=8):
+    """Zeros-mode trilinear sample via the corner-packed table: ``8/fold``
+    wide row gathers per point. The table build is shifted slices (XLA CSE
+    shares it across every sample of the same grid in a step)."""
     X, Y, Z, C = grid.shape
     n = X * Y * Z
     pad = Y * Z + Z + 2
-    table = corner_pack(grid, pad)
+    table = corner_pack(grid, pad, fold)
     base, wts = _packed_base_weights(grid.shape, xyz, xyz_min, xyz_max)
-    rows = jnp.take(table, jnp.clip(base + pad, 0, n + 2 * pad - 1), axis=0)
-    out = jnp.einsum(
-        "md,mdc->mc", wts, rows.reshape(-1, 8, C)
-    )
+    out = 0.0
+    for s in range(8 // fold):
+        b = base + (s * fold >> 2 & 1) * Y * Z + pad
+        rows = jnp.take(table, jnp.clip(b, 0, n + 2 * pad - 1), axis=0)
+        out = out + jnp.einsum(
+            "md,mdc->mc", wts[:, s * fold:(s + 1) * fold],
+            rows.reshape(-1, fold, C),
+        )
     return out.reshape(*xyz.shape[:-1], C)
 
 
@@ -275,7 +281,7 @@ def _grid_sample_3d_pairs(grid, xyz, xyz_min, xyz_max, mode):
 def _grid_sample_3d_fwd(grid, xyz, xyz_min, xyz_max, mode):
     C = grid.shape[-1]
     if mode == "zeros" and C <= 2:
-        out = _grid_sample_3d_packed(grid, xyz, xyz_min, xyz_max)
+        out = _grid_sample_3d_packed(grid, xyz, xyz_min, xyz_max, 8)
     else:
         out = _grid_sample_3d_pairs(grid, xyz, xyz_min, xyz_max, mode)
     return out, (grid.shape, xyz, xyz_min, xyz_max)

@@ -295,6 +295,30 @@ def _sorted_scatter_f32_bwd(size, idx_sorted, ct):
 _sorted_scatter_f32.defvjp(_sorted_scatter_f32_fwd, _sorted_scatter_f32_bwd)
 
 
+@jax.custom_vjp
+def sorted_gather_rows(table: jnp.ndarray, idx_sorted: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """``table[idx_sorted]`` row gather whose adjoint is the sorted splat
+    kernel instead of XLA's scatter lowering. ``idx_sorted`` must be
+    ascending and in-range."""
+    return jnp.take(table, idx_sorted, axis=0)
+
+
+def _sorted_gather_rows_fwd(table, idx_sorted):
+    return jnp.take(table, idx_sorted, axis=0), (table.shape, idx_sorted)
+
+
+def _sorted_gather_rows_bwd(res, ct):
+    (R, C), idx_sorted = res
+    dtable = sorted_streams_splat(
+        idx_sorted, ct.T[None].astype(jnp.float32), (0,), R
+    ).astype(ct.dtype)
+    return dtable, jnp.zeros_like(idx_sorted)
+
+
+sorted_gather_rows.defvjp(_sorted_gather_rows_fwd, _sorted_gather_rows_bwd)
+
+
 def displaced_taps_splat(
     grid_shape: Sequence[int],
     pts: jnp.ndarray,
