@@ -138,19 +138,22 @@ class ESRNeRF(VoxurfF):
             [self._xyz_emb_full(pts), sdf[:, None], feat6, normals], -1
         )
 
-    def _brdf_heads(self, params, pts, brdf_feat, emit_grid_key: str = "emo_color"):
+    def _brdf_heads(self, params, pts, brdf_feat,
+                    emit_grid_key: str = "emo_color", sorted_pts=False):
         """BRDFNet (sigmoid, split 3/1/1) + EmissionNet (softplus)
         (reference esrnerf.py:761-765). ``emit_grid_key`` switches between
         the live emo grid and the frozen finetune snapshot (emit_color)."""
+        samp = (self.geo.sample_grid_sorted if sorted_pts
+                else self.geo.sample_grid)
         bx = jnp.concatenate(
-            [self.geo.sample_grid(params["brdf"], pts), brdf_feat], -1
+            [samp(params["brdf"], pts), brdf_feat], -1
         )
         brdf_out = jax.nn.sigmoid(mlpops.apply_mlp(params["brdfnet"], bx))
         basecolor, roughness, metallic = (
             brdf_out[:, :3], brdf_out[:, 3:4], brdf_out[:, 4:5]
         )
         ex = jnp.concatenate(
-            [self.geo.sample_grid(params[emit_grid_key], pts), brdf_feat], -1
+            [samp(params[emit_grid_key], pts), brdf_feat], -1
         )
         emit = jax.nn.softplus(mlpops.apply_mlp(params["emitnet"], ex))
         return basecolor, roughness, metallic, emit
@@ -177,7 +180,7 @@ class ESRNeRF(VoxurfF):
         feat = self._features(params, m.pts, dirs[rid], m.sdf)
         out = {}
         for h in heads:
-            lin = self._radiance(params, h, m.pts, feat)
+            lin = self._radiance(params, h, m.pts, feat, sorted_pts=True)
             out[h] = geo.segment_to_rays(m, lin)
         return out, m.alphainv_last
 
@@ -296,8 +299,8 @@ class ESRNeRF(VoxurfF):
 
         feat = self._features(params, m.pts, viewdirs[rid], m.sdf)
         on_mask = ((em_modes[rid] == 1) & ~m.pad)[:, None]
-        off = self._radiance(params, "off", m.pts, feat)
-        emo = self._radiance(params, "emo", m.pts, feat)
+        off = self._radiance(params, "off", m.pts, feat, sorted_pts=True)
+        emo = self._radiance(params, "emo", m.pts, feat, sorted_pts=True)
         # on rays: emo + off (NOT detached here — reference esrnerf.py:751-757
         # adds off without detach, unlike VoxurfF)
         lin_rgb = jnp.where(on_mask, emo + off, off)
@@ -305,7 +308,7 @@ class ESRNeRF(VoxurfF):
 
         brdf_feat = self._brdf_feat(params, m.pts, m.sdf)
         basecolor, roughness, metallic, emit = self._brdf_heads(
-            params, m.pts, brdf_feat
+            params, m.pts, brdf_feat, sorted_pts=True
         )
 
         rgb_m = geo.segment_to_rays(m, rgb)
@@ -375,8 +378,8 @@ class ESRNeRF(VoxurfF):
         rid = jnp.minimum(m.ray_id, m.n_rays - 1)
         feat = self._features(params, m.pts, viewdirs[rid], m.sdf)
 
-        lin_off = self._radiance(params, "off", m.pts, feat)
-        lin_emo = self._radiance(params, "emo", m.pts, feat)
+        lin_off = self._radiance(params, "off", m.pts, feat, sorted_pts=True)
+        lin_emo = self._radiance(params, "emo", m.pts, feat, sorted_pts=True)
         lin_on = lin_off + lin_emo
         off = self.apply_tonemapper(params, lin_off)
         emo = self.apply_tonemapper(params, lin_emo)
@@ -384,7 +387,8 @@ class ESRNeRF(VoxurfF):
 
         brdf_feat = self._brdf_feat(params, m.pts, m.sdf)
         basecolor, roughness, metallic, emit = self._brdf_heads(
-            params, m.pts, brdf_feat, emit_grid_key=emit_grid_key
+            params, m.pts, brdf_feat, emit_grid_key=emit_grid_key,
+            sorted_pts=True,
         )
 
         _, grad_xyz = geo.sample_sdf_grad(params["sdf"], m.pts)

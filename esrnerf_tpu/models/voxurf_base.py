@@ -210,6 +210,18 @@ class VoxurfGeometry:
             grid, pts, jnp.asarray(self.xyz_min), jnp.asarray(self.xyz_max)
         )
 
+    def sample_grid_sorted(self, grid: jnp.ndarray,
+                           pts: jnp.ndarray) -> jnp.ndarray:
+        """Trilinear sample at march points (cell-sorted by the phase-2
+        compaction): chunk-major gather kernel forward, sort-free splat
+        backward. Use only with ``March.pts``."""
+        from esrnerf_tpu.ops import splat as splatops
+
+        return splatops.sorted_trilinear_sample(
+            grid, pts.reshape(-1, 3), jnp.asarray(self.xyz_min),
+            jnp.asarray(self.xyz_max),
+        )
+
     # ------------------------------------------------------------ the march
 
     def march(
@@ -333,7 +345,9 @@ class VoxurfGeometry:
         n2 = keep.sum()
         (idx2,) = jnp.nonzero(keep, size=K2, fill_value=-1)
         pad = idx2 < 0
-        idx2c = jnp.maximum(idx2, 0)
+        # pads clamp to the LAST row (not 0) so idx2c stays ascending —
+        # sorted_gather_rows' splat adjoint requires it
+        idx2c = jnp.where(pad, K1 - 1, idx2)
 
         # same wide-row trick for the phase-2 buffers
         pack1 = jnp.concatenate(
@@ -341,6 +355,24 @@ class VoxurfGeometry:
         )  # [K1, 6]
         pack2 = splatops.sorted_gather_rows(pack1, idx2c)  # [K2, 6]
         lin2 = jnp.take(lin, idx2c)
+
+        # re-order the compacted points by grid cell: every downstream
+        # per-point op is order-agnostic (segment sums by ray_id), and the
+        # cell order feeds the sorted gather/splat kernels for the wide
+        # color/BRDF grids sort-free
+        X, Y, Z = self.world_size
+        ind = gridops.normalized_index(
+            pack2[:, 0:3], jnp.asarray(self.xyz_min),
+            jnp.asarray(self.xyz_max), (X, Y, Z),
+        )
+        i0 = jnp.floor(ind).astype(jnp.int32)
+        cell = (i0[:, 0] * Y + i0[:, 1]) * Z + i0[:, 2]
+        key = jnp.where(pad, jnp.int32(2**30), cell)
+        perm = jnp.argsort(key)
+        inv_perm = jnp.argsort(perm)
+        pack2 = splatops.permute_rows(pack2, perm, inv_perm)
+        lin2 = jnp.take(lin2, perm)
+        pad = jnp.take(pad, perm)
 
         pts_c = pack2[:, 0:3]
         w_c = jnp.where(pad, 0.0, pack2[:, 3])

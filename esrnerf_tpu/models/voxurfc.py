@@ -100,15 +100,17 @@ class VoxurfC:
             axis=-1,
         )
 
-    def _heads(self, params, pts, feat, on_mask):
+    def _heads(self, params, pts, feat, on_mask, sorted_pts=False):
         """off + (on-rays-only) emissive sigmoid heads
         (reference voxurfc.py:241-249)."""
+        samp = (self.geo.sample_grid_sorted if sorted_pts
+                else self.geo.sample_grid)
         off_in = jnp.concatenate(
-            [self.geo.sample_grid(params["off_color"], pts), feat], -1
+            [samp(params["off_color"], pts), feat], -1
         )
         off = jax.nn.sigmoid(mlpops.apply_mlp(params["off_rgbnet"], off_in))
         emo_in = jnp.concatenate(
-            [self.geo.sample_grid(params["emo_color"], pts), feat], -1
+            [samp(params["emo_color"], pts), feat], -1
         )
         emo = jax.nn.sigmoid(mlpops.apply_mlp(params["emo_rgbnet"], emo_in))
         return jnp.where(on_mask[:, None], emo, 0.0) + off, off, emo
@@ -129,14 +131,14 @@ class VoxurfC:
             self.neus_alpha, grad_grid,
         )
 
-        grad_pts = geo.sample_grid(grad_grid, m.pts)
+        grad_pts = geo.sample_grid_sorted(grad_grid, m.pts)
         normal = grad_pts / (
             jnp.linalg.norm(grad_pts, axis=-1, keepdims=True) + 1e-5
         )
         view_pt = viewdirs[jnp.minimum(m.ray_id, m.n_rays - 1)]
         feat = self._features(m.pts, view_pt, normal)
         on_mask = (em_modes[jnp.minimum(m.ray_id, m.n_rays - 1)] == 1) & ~m.pad
-        rgb, _, _ = self._heads(params, m.pts, feat, on_mask)
+        rgb, _, _ = self._heads(params, m.pts, feat, on_mask, sorted_pts=True)
 
         rgb_marched = geo.segment_to_rays(m, rgb)
         return {
@@ -157,14 +159,14 @@ class VoxurfC:
             self.neus_alpha, grad_grid,
         )
 
-        grad_pts = geo.sample_grid(grad_grid, m.pts)
+        grad_pts = geo.sample_grid_sorted(grad_grid, m.pts)
         normal = grad_pts / (
             jnp.linalg.norm(grad_pts, axis=-1, keepdims=True) + 1e-5
         )
         view_pt = viewdirs[jnp.minimum(m.ray_id, m.n_rays - 1)]
         feat = self._features(m.pts, view_pt, normal)
         ones = jnp.ones(m.pts.shape[0], bool)
-        _, off, emo = self._heads(params, m.pts, feat, ones)
+        _, off, emo = self._heads(params, m.pts, feat, ones, sorted_pts=True)
         on = off + emo
 
         off_m = geo.segment_to_rays(m, off)

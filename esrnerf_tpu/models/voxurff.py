@@ -150,9 +150,11 @@ class VoxurfF:
         feat = jnp.concatenate([lin_rgb, jnp.sin(emb), jnp.cos(emb)], -1)
         return jax.nn.sigmoid(mlpops.apply_mlp(params["tonemapper"], feat))
 
-    def _radiance(self, params, head: str, pts, feat):
+    def _radiance(self, params, head: str, pts, feat, sorted_pts=False):
         grid = params[f"{head}_color"]
-        x = jnp.concatenate([self.geo.sample_grid(grid, pts), feat], -1)
+        samp = (self.geo.sample_grid_sorted if sorted_pts
+                else self.geo.sample_grid)
+        x = jnp.concatenate([samp(grid, pts), feat], -1)
         return jax.nn.softplus(mlpops.apply_mlp(params[f"{head}_rgbnet"], x))
 
     # -------------------------------------------------------------- forwards
@@ -172,8 +174,8 @@ class VoxurfF:
         feat = self._features(params, m.pts, viewdirs[rid], m.sdf)
         on_mask = ((em_modes[rid] == 1) & ~m.pad)[:, None]
 
-        off = self._radiance(params, "off", m.pts, feat)
-        emo = self._radiance(params, "emo", m.pts, feat)
+        off = self._radiance(params, "off", m.pts, feat, sorted_pts=True)
+        emo = self._radiance(params, "emo", m.pts, feat, sorted_pts=True)
         lin_rgb = jnp.where(
             on_mask, emo + jax.lax.stop_gradient(off), off
         )
@@ -203,8 +205,8 @@ class VoxurfF:
         rid = jnp.minimum(m.ray_id, m.n_rays - 1)
         feat = self._features(params, m.pts, viewdirs[rid], m.sdf)
 
-        lin_off = self._radiance(params, "off", m.pts, feat)
-        lin_emo = self._radiance(params, "emo", m.pts, feat)
+        lin_off = self._radiance(params, "off", m.pts, feat, sorted_pts=True)
+        lin_emo = self._radiance(params, "emo", m.pts, feat, sorted_pts=True)
         lin_on = lin_off + lin_emo
         off = self.apply_tonemapper(params, lin_off)
         emo = self.apply_tonemapper(params, lin_emo)

@@ -319,6 +319,267 @@ def _sorted_gather_rows_bwd(res, ct):
 sorted_gather_rows.defvjp(_sorted_gather_rows_fwd, _sorted_gather_rows_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Chunk-major sorted trilinear gather: the forward mirror of the splat.
+# Points sorted by base cell -> each 2048-point chunk's 8 corner reads live
+# in one contiguous table window, DMA'd to VMEM (bf16 hi+lo split) and
+# gathered with one-hot MXU matmuls at ~1-2 cycles/point/corner — no
+# per-step packed-table rebuild, unlike the corner-pack path.
+# ---------------------------------------------------------------------------
+
+_GCH = 2048          # points per chunk (= one grid step)
+_GCAP = 98304        # table rows resident per piece (covers YZ+Z+1 @ 256^3)
+
+
+def _gather_kernel_body(C, R, M, offsets, w0_ref, npc_ref, gf_ref, gl_ref,
+                        idx_hbm, w_hbm, tbl_hbm, out_ref, idx_buf, w_buf,
+                        pbuf, sems):
+    # lane-major throughout: points and cells ride the 128-lane dim, so no
+    # in-kernel transposes and all HBM minor dims are large/aligned
+    c = pl.program_id(0)
+    ncap_t = _GCAP // _GROUP
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    cp_idx = pltpu.make_async_copy(
+        idx_hbm.at[pl.ds(c * (_GCH // _GROUP), _GCH // _GROUP), :],
+        idx_buf, sems.at[0],
+    )
+    cp_w = pltpu.make_async_copy(
+        w_hbm.at[:, pl.ds(c * (_GCH // _GROUP), _GCH // _GROUP), :],
+        w_buf, sems.at[1],
+    )
+    cp_idx.start()
+    cp_w.start()
+
+    base0 = w0_ref[c]
+    npc = npc_ref[c]
+    cell_sub = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _GROUP), 0)
+    pos_lane = jax.lax.broadcasted_iota(jnp.int32, (1, _GROUP), 1)
+
+    cp_idx.wait()
+    cp_w.wait()
+    # the matmul may read one tile past the piece (unclamped second tile);
+    # keep that pad tile zero so stray garbage can't turn into NaN
+    pbuf[ncap_t] = jnp.zeros_like(pbuf[ncap_t])
+
+    def piece_body(p, _):
+        pstart = base0 + p * _GCAP
+        cp_t = pltpu.make_async_copy(
+            tbl_hbm.at[pl.ds(pstart // _GROUP, ncap_t), :, :],
+            pbuf.at[:ncap_t], sems.at[2],
+        )
+        cp_t.start()
+        cp_t.wait()
+
+        for g in range(_GCH // _GROUP):
+            gpos = c * _GCH + g * _GROUP
+            gf = gf_ref[c, g]
+            gl = gl_ref[c, g]
+            valid = (pos_lane + gpos) < M          # [1, GROUP] lanes
+            row = idx_buf[g:g + 1, :]              # [1, GROUP] lanes
+
+            for d, off in enumerate(offsets):
+                t0 = jnp.clip((gf + off - pstart) // _GROUP, 0, ncap_t - 1)
+                t1 = jnp.minimum((gl + off - pstart) // _GROUP, ncap_t - 1)
+                rel = row + (off - pstart)         # [1, GROUP]
+                # only rows whose read lands in this piece (others are
+                # handled when their piece is resident)
+                v_rel = valid & (rel >= 0) & (rel < _GCAP)
+                wrow = w_buf[d:d + 1, g, :]  # [1, 128]
+
+                def tile_body(t, _, rel=rel, v_rel=v_rel, wrow=wrow, g=g):
+                    a1 = jnp.where(
+                        ((rel - t * _GROUP) == cell_sub) & v_rel, 1.0, 0.0
+                    )  # [cells_sub, pts_lane] f32 (exact 0/1)
+                    v = jax.lax.dot_general(
+                        pbuf[t], a1,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [C, pts_lane]
+                    gs = g * _GROUP
+                    cur = out_ref[0, :, pl.ds(gs, _GROUP)]
+                    out_ref[0, :, pl.ds(gs, _GROUP)] = cur + wrow * v
+                    return 0
+
+                tile_body(t0, 0)
+                tile_body(t0 + 1, 0)  # may read the zeroed pad tile
+
+                @pl.when(t1 > t0 + 1)
+                def _():
+                    jax.lax.fori_loop(
+                        t0 + 2, t1 + 1, lambda t, cc: tile_body(t, cc), 0
+                    )
+        return 0
+
+    jax.lax.fori_loop(0, npc, piece_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+def sorted_corner_gather(
+    table: jnp.ndarray,
+    base_sorted: jnp.ndarray,
+    weights: jnp.ndarray,
+    offsets: Tuple[int, ...],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``out[m] = sum_d weights[m, d] * table[base_sorted[m] + offsets[d]]``
+    for an ascending, in-range ``base_sorted`` (every base + offset must lie
+    in [0, len(table))). table: [R, C] f32; weights: [M, len(offsets)]."""
+    R, C = table.shape
+    M = base_sorted.shape[0]
+    D = len(offsets)
+
+    if (jax.default_backend() != "tpu" and not interpret):
+        out = jnp.zeros((M, C), jnp.float32)
+        for d in range(D):
+            # clip: out-of-range corner reads carry zero weight, but
+            # jnp.take's default fill mode would poison them with NaN
+            idx_d = jnp.clip(base_sorted + offsets[d], 0, R - 1)
+            out = out + weights[:, d:d + 1] * jnp.take(table, idx_d, axis=0)
+        return out
+
+    m_pad = -(-M // _GCH) * _GCH
+    nch = m_pad // _GCH
+    # pad with the last real index: keeps the array sorted AND keeps the
+    # per-group tile spans (computed from group-last rows) covering the
+    # tail group's real points
+    idx_p = jnp.concatenate(
+        [base_sorted.astype(jnp.int32),
+         jnp.full((m_pad - M,), base_sorted[-1], jnp.int32)]
+    )
+    idx2d = idx_p.reshape(-1, _GROUP)
+    w_p = jnp.pad(
+        weights.astype(jnp.float32).T, ((0, 0), (0, m_pad - M))
+    ).reshape(D, m_pad // _GROUP, _GROUP)  # [D, rows, 128] lane-major
+    r_pad = (-(-(R + _GCAP + _GROUP) // _GROUP)) * _GROUP
+    tbl_p = jnp.pad(table, ((0, r_pad - R), (0, 0))).reshape(
+        r_pad // _GROUP, _GROUP, C
+    ).transpose(0, 2, 1)  # [tiles, C, 128]: dynamic indexing on dim 0
+
+    # per-chunk window starts / piece counts; per-group first/last base
+    span = max(offsets) + 2
+    first = idx_p[:: _GCH][:nch]
+    last_pt = jnp.concatenate(
+        [idx_p[_GCH - 1:: _GCH], idx_p[-1:]]
+    )[:nch]
+    w0 = jnp.clip((first // _GROUP) * _GROUP, 0, R)
+    npc = jnp.clip(
+        -(-(last_pt + span - w0) // _GCAP), 0, 1 + (R + span) // _GCAP
+    ).astype(jnp.int32)
+    gfirst = idx_p[:: _GROUP].reshape(nch, _GCH // _GROUP)
+    glast = jnp.concatenate(
+        [idx_p[_GROUP - 1:: _GROUP], idx_p[-1:]]
+    )[: m_pad // _GROUP].reshape(nch, _GCH // _GROUP)
+
+    kernel = functools.partial(
+        _gather_kernel_body, C, R, M, tuple(int(o) for o in offsets)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(nch,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, C, _GCH), lambda c, *_: (c, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_GCH // _GROUP, _GROUP), jnp.int32),
+                pltpu.VMEM((D, _GCH // _GROUP, _GROUP), jnp.float32),
+                pltpu.VMEM((_GCAP // _GROUP + 1, C, _GROUP), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nch, C, _GCH), jnp.float32),
+        interpret=interpret,
+    )(w0.astype(jnp.int32), npc, gfirst, glast, idx2d, w_p, tbl_p)
+
+    # [NCH, C, GCH] -> [M, C]
+    return out.transpose(0, 2, 1).reshape(m_pad, C)[:M]
+
+
+@jax.custom_vjp
+def permute_rows(x, perm, inv_perm):
+    """``x[perm]`` for a bijective ``perm``; the adjoint is the inverse
+    gather (XLA would otherwise lower the transpose as a scatter)."""
+    return jnp.take(x, perm, axis=0)
+
+
+def _permute_rows_fwd(x, perm, inv_perm):
+    return jnp.take(x, perm, axis=0), (perm, inv_perm)
+
+
+def _permute_rows_bwd(res, ct):
+    perm, inv_perm = res
+    return (jnp.take(ct, inv_perm, axis=0), jnp.zeros_like(perm),
+            jnp.zeros_like(inv_perm))
+
+
+permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def sorted_trilinear_sample(grid, pts_sorted, xyz_min, xyz_max):
+    """Zeros-mode trilinear sample at points pre-sorted by base cell
+    (ascending): the forward runs the chunk-major gather kernel, the
+    backward the sorted splat with the sort skipped. The production path
+    for the wide color/BRDF grids, whose march points arrive cell-sorted
+    from the phase-2 compaction."""
+    return _sorted_trilinear_sample_impl(grid, pts_sorted, xyz_min, xyz_max)
+
+
+def _sorted_trilinear_sample_impl(grid, pts_sorted, xyz_min, xyz_max):
+    from esrnerf_tpu.ops.grid import normalized_index
+
+    X, Y, Z, C = grid.shape
+    idx = normalized_index(pts_sorted, xyz_min, xyz_max, (X, Y, Z))
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    base = (i0[:, 0] * Y + i0[:, 1]) * Z + i0[:, 2]
+    size = jnp.array([X, Y, Z], jnp.int32)
+    v0 = (i0 >= 0) & (i0 < size)
+    v1 = (i0 + 1 >= 0) & (i0 + 1 < size)
+    fx = idx[:, 0] - i0[:, 0]
+    fy = idx[:, 1] - i0[:, 1]
+    fz = idx[:, 2] - i0[:, 2]
+    w = []
+    for d in range(8):
+        dx, dy, dz = d >> 2 & 1, d >> 1 & 1, d & 1
+        ok = ((v1 if dx else v0)[:, 0] & (v1 if dy else v0)[:, 1]
+              & (v1 if dz else v0)[:, 2])
+        w.append((fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+                 * (fz if dz else 1 - fz) * ok)
+    wts = jnp.stack(w, 1)  # [M, 8]
+    offs = tuple((d >> 2 & 1) * Y * Z + (d >> 1 & 1) * Z + (d & 1)
+                 for d in range(8))
+    # contract: pts inside the bbox (march points are) => base >= 0;
+    # corner reads past the last cell land in the kernel's zero padding
+    # and carry zero weight anyway
+    return sorted_corner_gather(grid.reshape(-1, C), base, wts, offs)
+
+
+def _sorted_trilinear_sample_fwd(grid, pts_sorted, xyz_min, xyz_max):
+    out = _sorted_trilinear_sample_impl(grid, pts_sorted, xyz_min, xyz_max)
+    return out, (grid.shape, pts_sorted, xyz_min, xyz_max)
+
+
+def _sorted_trilinear_sample_bwd(res, ct):
+    grid_shape, pts, xyz_min, xyz_max = res
+    dgrid = trilinear_splat(
+        grid_shape, pts, ct, xyz_min, xyz_max, assume_sorted=True
+    )
+    return (dgrid, jnp.zeros_like(pts), jnp.zeros_like(xyz_min),
+            jnp.zeros_like(xyz_max))
+
+
+sorted_trilinear_sample.defvjp(
+    _sorted_trilinear_sample_fwd, _sorted_trilinear_sample_bwd
+)
+
+
 def displaced_taps_splat(
     grid_shape: Sequence[int],
     pts: jnp.ndarray,
@@ -419,6 +680,7 @@ def trilinear_splat(
     xyz_min: jnp.ndarray,
     xyz_max: jnp.ndarray,
     fold: Optional[int] = None,
+    assume_sorted: bool = False,
 ) -> jnp.ndarray:
     """Adjoint of zeros-mode trilinear sampling: splat per-point cotangents
     ``ct [M, C]`` at ``pts [M, 3]`` into a zero grid of ``grid_shape``
@@ -427,6 +689,8 @@ def trilinear_splat(
     ``fold`` of the 8 corners ride as kernel channels (fewer, cheaper
     streams; bigger [n_cells, fold*C] shear table). Default: all 8 for
     small C, 4 for wide color grids (keeps the transient table < ~2 GB).
+    ``assume_sorted`` skips the cell sort (march phase-2 points arrive
+    pre-sorted).
     """
     from esrnerf_tpu.ops.grid import normalized_index
 
@@ -460,9 +724,12 @@ def trilinear_splat(
     wts = jnp.stack(w, 1)  # [M, 8] corner order d = dx*4+dy*2+dz
     vals_mat = (wts[:, :, None] * ct[:, None, :]).reshape(-1, 8 * C)
 
-    order = jnp.argsort(base)
-    base_s = base[order]
-    vals_s = vals_mat[order]  # [M, 8C]
+    if assume_sorted:
+        base_s, vals_s = base, vals_mat
+    else:
+        order = jnp.argsort(base)
+        base_s = base[order]
+        vals_s = vals_mat[order]  # [M, 8C]
 
     # corners split into S streams (leading bits of d) x `fold` channels
     S = 8 // fold

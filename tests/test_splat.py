@@ -69,3 +69,47 @@ def test_trilinear_splat_is_grid_sample_adjoint():
     (want,) = vjp(jnp.asarray(ct))
     np.testing.assert_allclose(np.asarray(grad), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_sorted_corner_gather_interpret():
+    rng = np.random.default_rng(5)
+    R, C, M = 3000, 3, 700
+    table = rng.standard_normal((R, C)).astype(np.float32)
+    offsets = (0, 1, 17, 18, 289, 290, 306, 307)
+    base = np.sort(rng.integers(0, R - 310, size=M)).astype(np.int32)
+    w = rng.standard_normal((M, 8)).astype(np.float32)
+    out = splatops.sorted_corner_gather(
+        jnp.asarray(table), jnp.asarray(base), jnp.asarray(w), offsets,
+        interpret=True,
+    )
+    want = sum(w[:, d:d+1] * table[base + offsets[d]] for d in range(8))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=5e-4, atol=5e-4)
+
+
+def test_sorted_trilinear_sample_matches_grid_sample():
+    rng = np.random.default_rng(6)
+    shape = (14, 11, 9, 5)
+    grid = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    # include exact-boundary and near-edge points: corner reads past the
+    # table end must not poison the result (NaN-fill regression)
+    pts = rng.uniform(0.001, 0.999, size=(600, 3)).astype(np.float32)
+    pts[:10] = 1.0
+    pts[10:20] = 0.0
+    pts[20:30] = 0.999999
+    mn, mx = jnp.zeros(3), jnp.ones(3)
+    # sort by base cell as the march would
+    idx = np.floor(pts * (np.array(shape[:3]) - 1)).astype(np.int64)
+    base = (idx[:, 0] * shape[1] + idx[:, 1]) * shape[2] + idx[:, 2]
+    pts = jnp.asarray(pts[np.argsort(base)])
+
+    out, vjp = jax.vjp(
+        lambda g: splatops.sorted_trilinear_sample(g, pts, mn, mx), grid)
+    want, vjp_ref = jax.vjp(
+        lambda g: gridops.grid_sample_3d_impl(g, pts, mn, mx), grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    ct = jnp.asarray(rng.standard_normal(out.shape).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(vjp(ct)[0]), np.asarray(vjp_ref(ct)[0]),
+        rtol=2e-4, atol=2e-5,
+    )
