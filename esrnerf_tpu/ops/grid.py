@@ -469,26 +469,53 @@ def _displaced_taps_fwd_impl(grid, pts, xyz_min, xyz_max, displace):
     grid3 = grid[..., 0]
     per_axis = _window_geometry((X, Y, Z), pts, xyz_min, xyz_max, displace)
 
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from esrnerf_tpu.ops import splat as splatops
+
+        flat = grid.reshape(-1, 1)
+        strides = (Y * Z, Z, 1)
+
     # offset order: (-z, +z, -y, +y, -x, +x) => axis order z, y, x
     out = []
     for g in (per_axis[2], per_axis[1], per_axis[0]):
         W = g["W"]
-        tbl, n_starts = _pack_axis_table(grid3, g["axis"], W)
         # window-slot selection weights for all 2*D taps: [M, 2, D, W]
         j = jnp.arange(W)
         wj = ((j == g["rel"][..., None]) * (1.0 - g["fq"][..., None])
               + (j == (g["rel"][..., None] + 1)) * g["fq"][..., None])
-        acc = 0.0
-        for db in (0, 1):
-            for dc in (0, 1):
-                row = ((g["i0b"] + db) * g["Sc"] + (g["i0c"] + dc)) * n_starts \
-                    + g["w0"]
-                win = jnp.take(tbl, row, axis=0)  # [M, W]
-                wcol = (jnp.where(db, g["fb"], 1 - g["fb"])
-                        * jnp.where(dc, g["fc"], 1 - g["fc"]))  # [M]
-                acc = acc + wcol[:, None, None] * jnp.einsum(
-                    "mw,msdw->msd", win, wj
-                )
+        wcol4 = jnp.stack(
+            [jnp.where(db, g["fb"], 1 - g["fb"])
+             * jnp.where(dc, g["fc"], 1 - g["fc"])
+             for db in (0, 1) for dc in (0, 1)], -1,
+        )  # [M, 4]
+        if on_tpu:
+            # raw multi-offset gather on the untransposed grid: the march's
+            # cell-local point order bounds each chunk's read window, so no
+            # per-axis table rebuild or re-sort is needed
+            sa, sb, sc = (strides[g["a"]], strides[g["b"]],
+                          strides[g["c"]])
+            base = g["i0b"] * sb + g["i0c"] * sc + g["w0"] * sa
+            offs = tuple(db * sb + dc * sc + jj * sa
+                         for db in (0, 1) for dc in (0, 1)
+                         for jj in range(W))
+            raw = splatops.sorted_corner_gather(
+                flat, base, None, offs, raw=True
+            ).reshape(-1, 4, W)
+            win = jnp.einsum("mkw,mk->mw", raw, wcol4)  # [M, W]
+        else:
+            tbl, n_starts = _pack_axis_table(grid3, g["axis"], W)
+            win4 = []
+            for k, (db, dc) in enumerate(
+                ((0, 0), (0, 1), (1, 0), (1, 1))
+            ):
+                row = ((g["i0b"] + db) * g["Sc"]
+                       + (g["i0c"] + dc)) * n_starts + g["w0"]
+                win4.append(jnp.take(tbl, row, axis=0))  # [M, W]
+            win = jnp.einsum(
+                "kmw,mk->mw", jnp.stack(win4, 0), wcol4
+            )
+        acc = jnp.einsum("mw,msdw->msd", win, wj)
         out.append(acc)  # [M, 2, D]
     vals = jnp.concatenate(out, axis=1)  # [M, 6, D] z-,z+,y-,y+,x-,x+
     return vals, None

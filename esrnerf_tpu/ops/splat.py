@@ -331,9 +331,9 @@ _GCH = 2048          # points per chunk (= one grid step)
 _GCAP = 98304        # table rows resident per piece (covers YZ+Z+1 @ 256^3)
 
 
-def _gather_kernel_body(C, R, M, offsets, w0_ref, npc_ref, gf_ref, gl_ref,
-                        idx_hbm, w_hbm, tbl_hbm, out_ref, idx_buf, w_buf,
-                        pbuf, sems):
+def _gather_kernel_body(C, R, M, offsets, raw, w0_ref, npc_ref, gf_ref,
+                        gl_ref, idx_hbm, w_hbm, tbl_hbm, out_ref, idx_buf,
+                        w_buf, pbuf, sems):
     # lane-major throughout: points and cells ride the 128-lane dim, so no
     # in-kernel transposes and all HBM minor dims are large/aligned
     c = pl.program_id(0)
@@ -344,12 +344,13 @@ def _gather_kernel_body(C, R, M, offsets, w0_ref, npc_ref, gf_ref, gl_ref,
         idx_hbm.at[pl.ds(c * (_GCH // _GROUP), _GCH // _GROUP), :],
         idx_buf, sems.at[0],
     )
-    cp_w = pltpu.make_async_copy(
-        w_hbm.at[:, pl.ds(c * (_GCH // _GROUP), _GCH // _GROUP), :],
-        w_buf, sems.at[1],
-    )
     cp_idx.start()
-    cp_w.start()
+    if not raw:
+        cp_w = pltpu.make_async_copy(
+            w_hbm.at[:, pl.ds(c * (_GCH // _GROUP), _GCH // _GROUP), :],
+            w_buf, sems.at[1],
+        )
+        cp_w.start()
 
     base0 = w0_ref[c]
     npc = npc_ref[c]
@@ -357,7 +358,8 @@ def _gather_kernel_body(C, R, M, offsets, w0_ref, npc_ref, gf_ref, gl_ref,
     pos_lane = jax.lax.broadcasted_iota(jnp.int32, (1, _GROUP), 1)
 
     cp_idx.wait()
-    cp_w.wait()
+    if not raw:
+        cp_w.wait()
     # the matmul may read one tile past the piece (unclamped second tile);
     # keep that pad tile zero so stray garbage can't turn into NaN
     pbuf[ncap_t] = jnp.zeros_like(pbuf[ncap_t])
@@ -379,100 +381,130 @@ def _gather_kernel_body(C, R, M, offsets, w0_ref, npc_ref, gf_ref, gl_ref,
             row = idx_buf[g:g + 1, :]              # [1, GROUP] lanes
 
             for d, off in enumerate(offsets):
-                t0 = jnp.clip((gf + off - pstart) // _GROUP, 0, ncap_t - 1)
-                t1 = jnp.minimum((gl + off - pstart) // _GROUP, ncap_t - 1)
-                rel = row + (off - pstart)         # [1, GROUP]
-                # only rows whose read lands in this piece (others are
-                # handled when their piece is resident)
-                v_rel = valid & (rel >= 0) & (rel < _GCAP)
-                wrow = w_buf[d:d + 1, g, :]  # [1, 128]
-
-                def tile_body(t, _, rel=rel, v_rel=v_rel, wrow=wrow, g=g):
-                    a1 = jnp.where(
-                        ((rel - t * _GROUP) == cell_sub) & v_rel, 1.0, 0.0
-                    )  # [cells_sub, pts_lane] f32 (exact 0/1)
-                    v = jax.lax.dot_general(
-                        pbuf[t], a1,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # [C, pts_lane]
-                    gs = g * _GROUP
-                    cur = out_ref[0, :, pl.ds(gs, _GROUP)]
-                    out_ref[0, :, pl.ds(gs, _GROUP)] = cur + wrow * v
-                    return 0
-
-                tile_body(t0, 0)
-                tile_body(t0 + 1, 0)  # may read the zeroed pad tile
-
-                @pl.when(t1 > t0 + 1)
-                def _():
-                    jax.lax.fori_loop(
-                        t0 + 2, t1 + 1, lambda t, cc: tile_body(t, cc), 0
+                # skip offsets whose reads don't intersect this piece
+                # (wide-offset multi-piece chunks, e.g. x-axis tap windows)
+                @pl.when((gl + off >= pstart)
+                         & (gf + off < pstart + _GCAP))
+                def _(g=g, d=d, off=off, gf=gf, gl=gl, row=row,
+                      valid=valid, pstart=pstart):
+                    t0 = jnp.clip(
+                        (gf + off - pstart) // _GROUP, 0, ncap_t - 1
                     )
+                    t1 = jnp.minimum(
+                        (gl + off - pstart) // _GROUP, ncap_t - 1
+                    )
+                    rel = row + (off - pstart)     # [1, GROUP]
+                    # only rows whose read lands in this piece (others are
+                    # handled when their piece is resident)
+                    v_rel = valid & (rel >= 0) & (rel < _GCAP)
+                    wrow = None if raw else w_buf[d:d + 1, g, :]  # [1,128]
+
+                    def tile_body(t, _, rel=rel, v_rel=v_rel, wrow=wrow,
+                                  g=g, d=d):
+                        a1 = jnp.where(
+                            ((rel - t * _GROUP) == cell_sub) & v_rel,
+                            1.0, 0.0,
+                        )  # [cells_sub, pts_lane] f32 (exact 0/1)
+                        v = jax.lax.dot_general(
+                            pbuf[t], a1,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # [C, pts_lane]
+                        gs = g * _GROUP
+                        if raw:  # each offset gets its own output channel
+                            cur = out_ref[0, d:d + 1, pl.ds(gs, _GROUP)]
+                            out_ref[0, d:d + 1, pl.ds(gs, _GROUP)] = cur + v
+                        else:
+                            cur = out_ref[0, :, pl.ds(gs, _GROUP)]
+                            out_ref[0, :, pl.ds(gs, _GROUP)] = (
+                                cur + wrow * v
+                            )
+                        return 0
+
+                    tile_body(t0, 0)
+                    tile_body(t0 + 1, 0)  # may read the zeroed pad tile
+
+                    @pl.when(t1 > t0 + 1)
+                    def _():
+                        jax.lax.fori_loop(
+                            t0 + 2, t1 + 1,
+                            lambda t, cc: tile_body(t, cc), 0,
+                        )
         return 0
 
     jax.lax.fori_loop(0, npc, piece_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "raw", "interpret")
+)
 def sorted_corner_gather(
     table: jnp.ndarray,
     base_sorted: jnp.ndarray,
-    weights: jnp.ndarray,
+    weights: Optional[jnp.ndarray],
     offsets: Tuple[int, ...],
+    raw: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """``out[m] = sum_d weights[m, d] * table[base_sorted[m] + offsets[d]]``
-    for an ascending, in-range ``base_sorted`` (every base + offset must lie
-    in [0, len(table))). table: [R, C] f32; weights: [M, len(offsets)]."""
+    (or, with ``raw=True`` and a [R, 1] table, the unweighted per-offset
+    values ``out[m, d]``). ``base_sorted`` need not be strictly sorted —
+    only *spatially local*: each 2048-point chunk's reads must span a
+    bounded table window (per-chunk/group min/max bounds are computed
+    host-side). table: [R, C] f32; weights: [M, len(offsets)] or None."""
     R, C = table.shape
     M = base_sorted.shape[0]
     D = len(offsets)
+    if raw:
+        assert C == 1 and weights is None
 
     if (jax.default_backend() != "tpu" and not interpret):
+        outs = []
         out = jnp.zeros((M, C), jnp.float32)
         for d in range(D):
             # clip: out-of-range corner reads carry zero weight, but
             # jnp.take's default fill mode would poison them with NaN
             idx_d = jnp.clip(base_sorted + offsets[d], 0, R - 1)
-            out = out + weights[:, d:d + 1] * jnp.take(table, idx_d, axis=0)
-        return out
+            vals = jnp.take(table, idx_d, axis=0)
+            if raw:
+                outs.append(vals[:, 0])
+            else:
+                out = out + weights[:, d:d + 1] * vals
+        return jnp.stack(outs, -1) if raw else out
 
     m_pad = -(-M // _GCH) * _GCH
     nch = m_pad // _GCH
-    # pad with the last real index: keeps the array sorted AND keeps the
-    # per-group tile spans (computed from group-last rows) covering the
-    # tail group's real points
     idx_p = jnp.concatenate(
         [base_sorted.astype(jnp.int32),
          jnp.full((m_pad - M,), base_sorted[-1], jnp.int32)]
     )
     idx2d = idx_p.reshape(-1, _GROUP)
-    w_p = jnp.pad(
-        weights.astype(jnp.float32).T, ((0, 0), (0, m_pad - M))
-    ).reshape(D, m_pad // _GROUP, _GROUP)  # [D, rows, 128] lane-major
+    if raw:
+        w_p = jnp.zeros((1, m_pad // _GROUP, _GROUP), jnp.float32)
+    else:
+        w_p = jnp.pad(
+            weights.astype(jnp.float32).T, ((0, 0), (0, m_pad - M))
+        ).reshape(D, m_pad // _GROUP, _GROUP)  # [D, rows, 128] lane-major
     r_pad = (-(-(R + _GCAP + _GROUP) // _GROUP)) * _GROUP
     tbl_p = jnp.pad(table, ((0, r_pad - R), (0, 0))).reshape(
         r_pad // _GROUP, _GROUP, C
     ).transpose(0, 2, 1)  # [tiles, C, 128]: dynamic indexing on dim 0
 
-    # per-chunk window starts / piece counts; per-group first/last base
+    # per-group/chunk min-max bounds (locality, not sortedness)
     span = max(offsets) + 2
-    first = idx_p[:: _GCH][:nch]
-    last_pt = jnp.concatenate(
-        [idx_p[_GCH - 1:: _GCH], idx_p[-1:]]
-    )[:nch]
-    w0 = jnp.clip((first // _GROUP) * _GROUP, 0, R)
+    gmat = idx2d  # [rows, 128]
+    gfirst = gmat.min(axis=1).reshape(nch, _GCH // _GROUP)
+    glast = gmat.max(axis=1).reshape(nch, _GCH // _GROUP)
+    cmin = gfirst.min(axis=1)
+    cmax = glast.max(axis=1)
+    w0 = jnp.clip((cmin // _GROUP) * _GROUP, 0, R)
     npc = jnp.clip(
-        -(-(last_pt + span - w0) // _GCAP), 0, 1 + (R + span) // _GCAP
+        -(-(cmax + span - w0) // _GCAP), 0, 1 + (R + span) // _GCAP
     ).astype(jnp.int32)
-    gfirst = idx_p[:: _GROUP].reshape(nch, _GCH // _GROUP)
-    glast = jnp.concatenate(
-        [idx_p[_GROUP - 1:: _GROUP], idx_p[-1:]]
-    )[: m_pad // _GROUP].reshape(nch, _GCH // _GROUP)
 
+    c_out = D if raw else C
     kernel = functools.partial(
-        _gather_kernel_body, C, R, M, tuple(int(o) for o in offsets)
+        _gather_kernel_body, C, R, M, tuple(int(o) for o in offsets), raw
     )
     out = pl.pallas_call(
         kernel,
@@ -485,21 +517,22 @@ def sorted_corner_gather(
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (1, C, _GCH), lambda c, *_: (c, 0, 0)
+                (1, c_out, _GCH), lambda c, *_: (c, 0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((_GCH // _GROUP, _GROUP), jnp.int32),
-                pltpu.VMEM((D, _GCH // _GROUP, _GROUP), jnp.float32),
+                pltpu.VMEM((max(1, D if not raw else 1),
+                            _GCH // _GROUP, _GROUP), jnp.float32),
                 pltpu.VMEM((_GCAP // _GROUP + 1, C, _GROUP), jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((nch, C, _GCH), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nch, c_out, _GCH), jnp.float32),
         interpret=interpret,
     )(w0.astype(jnp.int32), npc, gfirst, glast, idx2d, w_p, tbl_p)
 
-    # [NCH, C, GCH] -> [M, C]
-    return out.transpose(0, 2, 1).reshape(m_pad, C)[:M]
+    # [NCH, Cout, GCH] -> [M, Cout]
+    return out.transpose(0, 2, 1).reshape(m_pad, c_out)[:M]
 
 
 @jax.custom_vjp

@@ -113,3 +113,21 @@ def test_sorted_trilinear_sample_matches_grid_sample():
         np.asarray(vjp(ct)[0]), np.asarray(vjp_ref(ct)[0]),
         rtol=2e-4, atol=2e-5,
     )
+
+
+def test_sorted_gather_raw_and_unsorted_locality():
+    """raw=True returns per-offset values; order only needs locality."""
+    rng = np.random.default_rng(7)
+    R, M = 5000, 700
+    table = rng.standard_normal((R, 1)).astype(np.float32)
+    offsets = (0, 3, 7, 450, 900)
+    # locally-shuffled (non-sorted) base
+    base = np.sort(rng.integers(0, R - 901, size=M)).astype(np.int32)
+    sh = rng.permutation(M) % 64
+    base = base[np.argsort(np.arange(M) + sh * 3)]
+    out = splatops.sorted_corner_gather(
+        jnp.asarray(table), jnp.asarray(base), None, offsets,
+        raw=True, interpret=True,
+    )
+    want = np.stack([table[base + o, 0] for o in offsets], -1)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6, atol=1e-6)
