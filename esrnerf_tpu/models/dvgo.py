@@ -147,10 +147,15 @@ class DVGO:
         return pts, mask_out, alpha, weights, alphainv_cum
 
     def forward_training(
-        self, params: Params, rays_o, rays_d, em_modes, rng_key
+        self, params: Params, rays_o, rays_d, em_modes, rng_key,
+        rand_shift=None,
     ) -> Dict[str, jnp.ndarray]:
-        """Reference dvgo.py:174-214. em_modes: [N] int (1 = emissive on)."""
-        shift = jax.random.uniform(rng_key, (rays_o.shape[0], 1), rays_o.dtype)
+        """Reference dvgo.py:174-214. em_modes: [N] int (1 = emissive on).
+        ``rand_shift`` overrides the per-ray stratified jitter (exact replay
+        under different batch shardings)."""
+        shift = (rand_shift if rand_shift is not None else
+                 jax.random.uniform(rng_key, (rays_o.shape[0], 1),
+                                    rays_o.dtype))
         pts, mask_out, alpha, weights, alphainv_cum = self._march(
             params, rays_o, rays_d, rand_shift=shift
         )

@@ -59,3 +59,46 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
 def pad_to_multiple(n: int, m: int) -> int:
     """Smallest multiple of m that is >= n (batch padding for even shards)."""
     return ((n + m - 1) // m) * m
+
+
+def sharded_train_step(mesh: Mesh, loss_fn, opt, axis: str = "data",
+                       has_rng: bool = False):
+    """Build a ``shard_map`` data-parallel train step — the fast path.
+
+    Under plain jit+GSPMD the march's global compactions (``jnp.nonzero``
+    over the whole batch) force cross-shard collectives; under shard_map
+    every shard marches its own rays with local static budgets and only the
+    loss/gradients cross the ICI (one ``pmean``).
+
+    ``loss_fn(params, batch[, rng]) -> scalar`` is the per-shard loss over
+    the LOCAL batch (mean over local rays; the pmean makes it the global
+    mean when shards are equal-sized). ``opt`` is an ``optim.Adam``-style
+    object with ``step(params, grads, opt_state) -> (params, opt_state)``.
+
+    Returns ``step(params, opt_state, batch[, rng]) -> (params, opt_state,
+    loss)`` — jitted; params/opt_state replicated, batch leading dims
+    sharded over ``axis``.
+    """
+    import functools
+
+    from jax.experimental.shard_map import shard_map
+
+    bspec = P(axis)
+    rspec = P()
+
+    def _step(params, opt_state, batch, rng=None):
+        args = (batch, rng) if has_rng else (batch,)
+        loss, grads = jax.value_and_grad(loss_fn)(params, *args)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        params, opt_state = opt.step(params, grads, opt_state)
+        return params, opt_state, loss
+
+    in_specs = [rspec, rspec, bspec] + ([rspec] if has_rng else [])
+    sharded = shard_map(
+        _step, mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(rspec, rspec, rspec),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

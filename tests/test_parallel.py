@@ -89,3 +89,52 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_shard_map_fast_path_matches_single_device():
+    """The shard_map step (local compactions, one grad pmean) must agree
+    with the plain single-device step."""
+    from esrnerf_tpu.parallel.mesh import sharded_train_step
+
+    model, params, state, train_step = make_setup()
+    opt = Adam({"density": 0.1, "off_color": 0.1, "emo_color": 0.1})
+
+    # per-ray jitter must ride the batch (a shaped rng draw differs per
+    # shard count); precompute and shard it like the rest of the batch
+    def loss_fn(p, batch, key):
+        res = model.forward_training(
+            p, batch["rays_o"], batch["rays_d"], batch["em_modes"], key,
+            rand_shift=batch["shift"],
+        )
+        pred = jnp.clip(res["srgb/rgb"] + res["etc/white_bg"], 0, 1)
+        return ((pred - batch["rgbs"]) ** 2).mean()
+
+    mesh = get_mesh(devices=jax.devices()[:8])
+    step = sharded_train_step(mesh, loss_fn, opt, has_rng=True)
+
+    batch_np = make_batch(64)
+    batch_np["shift"] = np.random.default_rng(3).uniform(
+        size=(64, 1)).astype(np.float32)
+    key = jax.random.PRNGKey(1)
+
+    def single_step(params, state, batch, key):
+        def lf(p):
+            return loss_fn(p, batch, key)
+        loss, grads = jax.value_and_grad(lf)(params)
+        params, state = opt.step(params, grads, state)
+        return params, state, loss
+
+    p1, s1, l1 = jax.jit(single_step)(
+        params, state, jax.tree.map(jnp.asarray, batch_np), key)
+
+    params_r = jax.device_put(params, replicated(mesh))
+    state_r = jax.device_put(opt.init(params), replicated(mesh))
+    batch_sh = shard_batch(jax.tree.map(jnp.asarray, batch_np), mesh)
+    p2, s2, l2 = step(params_r, state_r, batch_sh, key)
+
+    assert np.isclose(float(l1), float(l2), rtol=1e-6), (l1, l2)
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), rtol=1e-5, atol=1e-6,
+            err_msg=k,
+        )
