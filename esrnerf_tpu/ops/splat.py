@@ -648,10 +648,14 @@ def displaced_taps_splat(
         slot = jnp.einsum("msd,msdw->mw", ct_a, wj)  # [M, W]
 
         base = g["i0b"] * sb + g["i0c"] * sc + g["w0"] * sa
-        order = jnp.argsort(base)
-        base_s = base[order]
-        slot_s = slot[order]
-        fb_s, fc_s = g["fb"][order], g["fc"][order]
+        base_s, order = jax.lax.sort_key_val(
+            base, jnp.arange(base.shape[0], dtype=jnp.int32)
+        )
+        packed = jnp.concatenate(
+            [slot, g["fb"][:, None], g["fc"][:, None]], -1
+        )[order]  # one row gather for all sort payloads
+        slot_s = packed[:, :W]
+        fb_s, fc_s = packed[:, W], packed[:, W + 1]
 
         shifts = [dc * sc + jj * sa for dc in (0, 1) for jj in range(W)]
         pad = max(shifts) + 2
@@ -760,8 +764,9 @@ def trilinear_splat(
     if assume_sorted:
         base_s, vals_s = base, vals_mat
     else:
-        order = jnp.argsort(base)
-        base_s = base[order]
+        base_s, order = jax.lax.sort_key_val(
+            base, jnp.arange(base.shape[0], dtype=jnp.int32)
+        )
         vals_s = vals_mat[order]  # [M, 8C]
 
     # corners split into S streams (leading bits of d) x `fold` channels
