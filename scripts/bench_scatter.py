@@ -117,7 +117,8 @@ def bench_splat():
                        ("color-like M=3.1M C=6", 3_100_000, 6)]:
         base = np.sort(rng.integers(0, N - YZ - Z - 2, size=M)).astype(np.int32)
         vals = rng.standard_normal((8, C, M)).astype(np.float32)
-        offsets = splatops.corner_offsets(256, 256)
+        from esrnerf_tpu.ops.grid import corner_offsets_dmajor
+        offsets = tuple(corner_offsets_dmajor(256, 256))
         f = lambda b, v: splatops.sorted_streams_splat(b, v, offsets, N)
         t = timeit(f, jnp.asarray(base), jnp.asarray(vals))
         print(f"splat kernel {name:24s} {t*1e3:9.1f} ms")
@@ -151,7 +152,8 @@ def bench_splat_realistic():
         ijk = np.clip((pts * (R - 1)).astype(np.int32), 0, R - 2)
         return np.sort((ijk[:, 0] * R + ijk[:, 1]) * R + ijk[:, 2])
 
-    offsets = splatops.corner_offsets(R, R)
+    from esrnerf_tpu.ops.grid import corner_offsets_dmajor
+    offsets = tuple(corner_offsets_dmajor(R, R))
     for name, M, C in [("shell sdf M=3.1M C=1", 3_100_000, 1),
                        ("shell color M=524K C=6", 524_288, 6)]:
         base = shell_cells(M).astype(np.int32)
