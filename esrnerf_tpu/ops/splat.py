@@ -405,10 +405,13 @@ def _gather_kernel_body(C, R, M, offsets, raw, w0_ref, npc_ref, gf_ref,
                             ((rel - t * _GROUP) == cell_sub) & v_rel,
                             1.0, 0.0,
                         )  # [cells_sub, pts_lane] f32 (exact 0/1)
+                        # default matmul precision is one bf16 pass,
+                        # which would quantize sampled values to ~0.4%
                         v = jax.lax.dot_general(
                             pbuf[t], a1,
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
                         )  # [C, pts_lane]
                         gs = g * _GROUP
                         if raw:  # each offset gets its own output channel
