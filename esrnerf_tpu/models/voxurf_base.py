@@ -375,6 +375,14 @@ class VoxurfGeometry:
         pad = jnp.take(pad, perm)
 
         pts_c = pack2[:, 0:3]
+        # pad rows carried pts1[K1-1] (an arbitrary cell) through the gather;
+        # after the cell sort they must not break ascending base order, which
+        # sorted_trilinear_sample's splat backward requires. Collapse every
+        # pad row onto the last REAL (max-cell) row so the tail is a constant
+        # at the maximum cell — base stays ascending and per-chunk locality
+        # holds (pads occupy one cell instead of spanning the whole grid).
+        last_real = pts_c[jnp.maximum(n2 - 1, 0)]
+        pts_c = jnp.where(pad[:, None], last_real, pts_c)
         w_c = jnp.where(pad, 0.0, pack2[:, 3])
         a_c = jnp.where(pad, 0.0, pack2[:, 4])
         sdf_c = jnp.where(pad, 0.0, pack2[:, 5])

@@ -488,13 +488,17 @@ def sorted_corner_gather(
         w_p = jnp.pad(
             weights.astype(jnp.float32).T, ((0, 0), (0, m_pad - M))
         ).reshape(D, m_pad // _GROUP, _GROUP)  # [D, rows, 128] lane-major
-    r_pad = (-(-(R + _GCAP + _GROUP) // _GROUP)) * _GROUP
+    # the last piece's DMA reads [pstart, pstart + _GCAP) where pstart can
+    # reach cmax + span - 1 (npc = ceil((cmax + span - w0)/_GCAP)), so the
+    # table must be padded past R by span + _GCAP — padding by _GCAP alone
+    # leaves up to ~span rows of out-of-bounds HBM read
+    span = max(offsets) + 2
+    r_pad = (-(-(R + span + _GCAP + _GROUP) // _GROUP)) * _GROUP
     tbl_p = jnp.pad(table, ((0, r_pad - R), (0, 0))).reshape(
         r_pad // _GROUP, _GROUP, C
     ).transpose(0, 2, 1)  # [tiles, C, 128]: dynamic indexing on dim 0
 
     # per-group/chunk min-max bounds (locality, not sortedness)
-    span = max(offsets) + 2
     gmat = idx2d  # [rows, 128]
     gfirst = gmat.min(axis=1).reshape(nch, _GCH // _GROUP)
     glast = gmat.max(axis=1).reshape(nch, _GCH // _GROUP)

@@ -27,8 +27,6 @@ def main():
         meta = {m.id: m.name for m in plane.event_metadata.values()}
         plane_total = 0.0
         for line in plane.lines:
-            if "XLA Ops" not in line.name and "Steps" in line.name:
-                continue
             if line.name not in ("XLA Ops",):
                 continue
             for ev in line.events:

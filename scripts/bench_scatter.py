@@ -57,8 +57,7 @@ def main():
     @jax.jit
     def scatter_color_rows(base, vals):
         idx = (base[:, None] + offs[None, :]).reshape(-1)
-        v = vals.reshape(-1, 8, C).transpose(0, 2, 1).reshape(-1, C)
-        v = vals.reshape(M * 8, C)
+        v = vals.reshape(M * 8, C)  # row d of point m targets idx[m*8+d]
         return jnp.zeros((N_COLOR_ROWS, C), jnp.float32).at[idx].add(v)
 
     @jax.jit

@@ -94,6 +94,39 @@ def test_compaction_preserves_reductions(geo, style):
     )
 
 
+def test_march_pad_tail_keeps_base_ascending(geo):
+    """Regression (round-1 advisor high finding): pad rows used to carry
+    pts1[K1-1] — an arbitrary cell — so after the cell sort March.pts had a
+    non-ascending constant tail, corrupting sorted_trilinear_sample's
+    searchsorted-based splat backward (silently dropped real gradient
+    updates). Pads must collapse onto the last real (max-cell) row so the
+    base-cell sequence stays weakly ascending end to end."""
+    from esrnerf_tpu.ops.grid import normalized_index
+
+    rng = np.random.default_rng(3)
+    sdf_grid = jnp.asarray(
+        rng.normal(scale=0.3, size=(*geo.world_size, 1)).astype(np.float32)
+    )
+    N = 24
+    ro, rd, vd = random_rays(N, seed=3)
+    # generous budget => a long pad tail (the failing configuration)
+    m = geo.march(sdf_grid, ro, rd, vd, 25.0, 1e-4, "interp",
+                  k_budget=N * geo.points_per_ray * 2, style="coarse")
+    assert float(m.overflow) == 0.0
+    assert bool(np.asarray(m.pad).any()), "test needs a pad tail"
+
+    X, Y, Z = geo.world_size
+    ind = normalized_index(
+        m.pts, jnp.asarray(geo.xyz_min), jnp.asarray(geo.xyz_max), (X, Y, Z)
+    )
+    i0 = np.floor(np.asarray(ind)).astype(np.int64)
+    base = (i0[:, 0] * Y + i0[:, 1]) * Z + i0[:, 2]
+    assert np.all(np.diff(base) >= 0), "March.pts base cells must ascend"
+    # pads occupy exactly one cell (locality: no grid-spanning tail)
+    pad = np.asarray(m.pad)
+    assert np.unique(base[pad]).size == 1
+
+
 def test_overflow_reported(geo):
     """With a tiny budget the march must report the dropped fraction."""
     rng = np.random.default_rng(2)
