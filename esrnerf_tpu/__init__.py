@@ -41,6 +41,11 @@ def enable_compilation_cache() -> None:
         return
     path = loc or os.path.expanduser("~/.cache/esrnerf_tpu/xla")
     try:
+        # Key the cache dir by toolchain + machine: a cached AOT executable
+        # built against a different libtpu or host CPU is not loadable
+        # (round-1 multichip dryrun died on exactly this; XLA:CPU warns
+        # "machine features don't match ... could lead to SIGILL").
+        path = os.path.join(path, _cache_fingerprint())
         os.makedirs(path, exist_ok=True)
         import jax
 
@@ -48,6 +53,31 @@ def enable_compilation_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:  # cache is an optimization, never a hard dependency
         pass
+
+
+def _cache_fingerprint() -> str:
+    """Short hash of everything that can invalidate a cached executable:
+    jax/jaxlib/libtpu builds, the pinned platform, and the host CPU model
+    (XLA:CPU AOT results encode machine features)."""
+    import hashlib
+    import os
+    import platform
+
+    parts = [os.environ.get("JAX_PLATFORMS", "")]
+    for mod in ("jax", "jaxlib", "libtpu"):
+        try:
+            m = __import__(mod)
+            parts.append(f"{mod}={getattr(m, '__version__', '?')}")
+        except Exception:
+            parts.append(f"{mod}=absent")
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = [l for l in f if l.startswith(("model name", "flags"))]
+        parts.append(flags[0] if flags else platform.processor())
+        parts.append(flags[1] if len(flags) > 1 else "")
+    except Exception:
+        parts.append(platform.processor())
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
 
 
 enable_compilation_cache()
