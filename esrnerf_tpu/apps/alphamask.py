@@ -8,7 +8,6 @@ jitted train step with the batch sharded over the data mesh.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Dict, List
 
@@ -151,9 +150,12 @@ class AlphaMask(AppClass):
         w_rgbper = self.weight_rgbper
         white_bg = self.white_bg
         opt = self.opt
+        sh = self.shard_helpers()
+        self.check_shardable(self.train_bs)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, lr_scale, per_lr, key):
+            key = sh.fold_key(key)
+
             def loss_fn(p):
                 res = model.forward_training(
                     p, batch["rays_o"], batch["rays_d"], batch["em_modes"], key
@@ -161,30 +163,32 @@ class AlphaMask(AppClass):
                 pred = jnp.clip(
                     res["srgb/rgb"] + res["etc/white_bg"] * white_bg, 0.0, 1.0
                 )
-                mse = ((pred - batch["rgbs"]) ** 2).mean()
+                mse = sh.gmean((pred - batch["rgbs"]) ** 2)
                 loss = mse
 
+                # DVGO alphainv_cum is [N, S+1]: per-ray last transmittance
                 pout = jnp.clip(res["etc/alphainv_cum"][..., -1], 1e-6, 1 - 1e-6)
-                ent = -(
-                    pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout)
-                ).mean()
+                ent = sh.gmean(
+                    -(pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout))
+                )
                 loss = loss + w_ent * ent
 
                 rgbper = ((res["srgb/raw_rgb"] - batch["rgbs"][:, None, :]) ** 2).sum(-1)
-                rgbper_loss = (
-                    rgbper * jax.lax.stop_gradient(res["etc/weights"])
-                ).sum(-1).mean()
+                rgbper_loss = sh.gmean(
+                    (rgbper * jax.lax.stop_gradient(res["etc/weights"])).sum(-1)
+                )
                 loss = loss + w_rgbper * rgbper_loss
                 return loss, mse
 
             (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads = sh.gsum(grads)
             scales = {g: lr_scale for g in params}
             params, opt_state = opt.step(
                 params, grads, opt_state, lr_scales=scales, per_lr=per_lr
             )
             return params, opt_state, mse
 
-        return train_step
+        return self.wrap_train_step(train_step)
 
     def process(self) -> None:
         if self.phase == "train":
@@ -228,7 +232,11 @@ class AlphaMask(AppClass):
                         f"Iter {self.global_step:05d} (s) psnr = {p:.2f} mse = {m:.6f}"
                     )
                 logger.log(
-                    {"train/metric/srgb/MSE": m, "train/metric/srgb/PSNR": p},
+                    # DVGO's dense march has no compaction budget, so its
+                    # overflow is identically 0 — logged for a uniform
+                    # metric schema across the five stages
+                    {"train/metric/srgb/MSE": m, "train/metric/srgb/PSNR": p,
+                     "train/metric/etc/overflow": 0.0},
                     step=self.global_step,
                 )
 
@@ -280,7 +288,9 @@ class AlphaMask(AppClass):
         }
         renders: Dict[str, List[np.ndarray]] = {}
 
-        fwd = jax.jit(self.renderer.forward_evaluate)
+        fwd = self.cached_jit(
+            "eval_fwd", lambda: jax.jit(self.renderer.forward_evaluate)
+        )
 
         for i in self.tqdm(img_idxes, desc="eval", leave=False):
             data = self.test_dataset[int(i)]

@@ -71,6 +71,56 @@ class AppClass:
             )
         return self._mesh
 
+    @property
+    def parallel_mode(self) -> str:
+        """'single' (one device) | 'shard_map' (default fast path on a
+        mesh: per-shard compaction, explicit psums) | 'gspmd' (jit-only
+        auto-partitioning, the conservative fallback)."""
+        if self.mesh is None:
+            return "single"
+        return str(self.cfg.system.get("parallel") or "shard_map")
+
+    @property
+    def num_shards(self) -> int:
+        if self.mesh is None or self.parallel_mode != "shard_map":
+            return 1
+        return int(np.prod(self.mesh.devices.shape))
+
+    def shard_helpers(self):
+        """Cross-shard reduction helpers for use inside train-step bodies
+        (identity on a single device / under gspmd)."""
+        from esrnerf_tpu.parallel import ShardHelpers
+
+        if self.parallel_mode == "shard_map":
+            return ShardHelpers("data", self.num_shards)
+        return ShardHelpers(None, 1)
+
+    def wrap_train_step(self, step_impl, donate=(0, 1)):
+        """jit — or, on a data mesh, shard_map+jit — a train step
+        ``(params, opt_state, batch, *extras) -> (params, opt_state, aux)``.
+        Under shard_map the batch shards over 'data' and the body must fold
+        cross-shard reductions via :meth:`shard_helpers`."""
+        import inspect
+
+        import jax
+
+        if self.parallel_mode == "shard_map":
+            from esrnerf_tpu.parallel import wrap_step_shard_map
+
+            n_args = len(inspect.signature(step_impl).parameters)
+            return wrap_step_shard_map(
+                self.mesh, step_impl, n_args, donate=donate
+            )
+        return jax.jit(step_impl, donate_argnums=donate)
+
+    def check_shardable(self, batch_size: int) -> None:
+        if self.parallel_mode == "shard_map" and batch_size % self.num_shards:
+            raise ValueError(
+                f"batch_size={batch_size} not divisible by "
+                f"{self.num_shards} shards; adjust app.trainer.batch_size "
+                "or set system.parallel=gspmd"
+            )
+
     def place_batch(self, batch: dict) -> dict:
         """Device placement for a host batch: sharded over the data axis
         when a mesh exists, plain transfer otherwise."""
@@ -90,6 +140,42 @@ class AppClass:
 
             return jax.device_put(tree, replicated(self.mesh))
         return tree
+
+    def track_overflow(self, ovf) -> float:
+        """March budget overflow (fraction of surviving samples silently
+        dropped). The reference's ragged CUDA kernels cannot lose samples,
+        so any value > 0 is a parity risk unique to the static-budget
+        rebuild — warn loudly the first time."""
+        v = float(ovf)
+        if v > 0.0 and not getattr(self, "_overflow_warned", False):
+            import warnings
+
+            warnings.warn(
+                f"march overflow {v:.4f}: points_budget_* too small for "
+                "this scene — surviving samples are being dropped and PSNR "
+                "will silently degrade; raise app.model.points_budget_per_ray"
+            )
+            self._overflow_warned = True
+        return v
+
+    def cached_jit(self, name: str, build, key_extra: tuple = ()):
+        """Memoized jitted callables (one trace cache per app lifetime).
+
+        ``jax.jit(fn)`` inside ``evaluate()`` built a fresh wrapper — and a
+        fresh trace cache — per call, costing seconds of re-tracing per eval
+        at production graph sizes. Keyed by renderer identity so progressive
+        grid scaling (which replaces the renderer) correctly re-jits; stale
+        generations are dropped to free their compiled executables.
+        """
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = self._jit_cache = {}
+        key = (name, id(self.renderer)) + tuple(key_extra)
+        if key not in cache:
+            for k in [k for k in cache if k[0] == name]:
+                del cache[k]
+            cache[key] = build()
+        return cache[key]
 
     def get_logger(self) -> Logger:
         if self.logger is None:

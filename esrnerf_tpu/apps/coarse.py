@@ -8,7 +8,6 @@ scheduled LR decays and TV-weight updates, mesh extraction at eval.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Dict, List
 
@@ -219,7 +218,9 @@ class Coarse(AppClass):
         w_tvc = self.weight_tv_color
         white_bg = self.white_bg
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        sh = self.shard_helpers()
+        self.check_shardable(self.train_bs)
+
         def train_step(params, opt_state, batch, s_val, lr_scales, tv_flag,
                        sdf_tv, smooth_grad_tv):
             def loss_fn(p):
@@ -230,30 +231,34 @@ class Coarse(AppClass):
                 pred = jnp.clip(
                     res["srgb/rgb"] + res["etc/white_bg"] * white_bg, 0.0, 1.0
                 )
-                mse = ((pred - batch["rgbs"]) ** 2).mean()
+                mse = sh.gmean((pred - batch["rgbs"]) ** 2)
                 loss = mse
 
                 # NB: the reference indexes [..., -1] into the [N]-shaped
                 # alphainv_last, reducing the entropy term to the last ray
-                # only (coarse.py:348-352) — replicated for parity.
+                # only (coarse.py:348-352) — replicated for parity (the
+                # glast keeps it the *global* last ray when sharded).
                 pout = jnp.clip(res["etc/alphainv_cum"][..., -1], 1e-6, 1 - 1e-6)
-                ent = -(
-                    pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout)
-                ).mean()
+                ent = sh.glast(
+                    -(pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout)).mean()
+                )
                 loss = loss + w_ent * ent
 
                 tv = model.density_total_variation(p, sdf_tv, smooth_grad_tv)
                 tv_loss = w_tvd * tv + w_tvc * model.color_total_variation(p)
-                loss = loss + tv_flag * tv_loss
-                return loss, mse
+                loss = loss + tv_flag * tv_loss / sh.n
+                return loss, (mse, res["etc/overflow"])
 
-            (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (loss, (mse, ovf)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            grads = sh.gsum(grads)
             params, opt_state = opt.step(
                 params, grads, opt_state, lr_scales=lr_scales
             )
-            return params, opt_state, mse
+            return params, opt_state, (mse, sh.gmax(ovf))
 
-        return train_step
+        return self.wrap_train_step(train_step)
 
     def process(self) -> None:
         if self.phase == "train":
@@ -280,7 +285,7 @@ class Coarse(AppClass):
                 self.tv_from < self.global_step < self.tv_end
                 and self.global_step % self.tv_every == 0
             )
-            self.params, self.opt_state, mse = train_step(
+            self.params, self.opt_state, (mse, ovf) = train_step(
                 self.params, self.opt_state, batch, jnp.float32(s_val),
                 {k: jnp.float32(v) for k, v in self.lr_scales.items()},
                 jnp.float32(1.0 if tv_on else 0.0),
@@ -307,7 +312,8 @@ class Coarse(AppClass):
                         f"Iter {self.global_step:05d} (s) psnr = {p:.2f} mse = {m:.6f}"
                     )
                 logger.log(
-                    {"train/metric/srgb/MSE": m, "train/metric/srgb/PSNR": p},
+                    {"train/metric/srgb/MSE": m, "train/metric/srgb/PSNR": p,
+                     "train/metric/etc/overflow": self.track_overflow(ovf)},
                     step=self.global_step,
                 )
 
@@ -361,7 +367,9 @@ class Coarse(AppClass):
         renders: Dict[str, List[np.ndarray]] = {}
         s_val = getattr(self.renderer, "s_val", self.s_start)
 
-        fwd = jax.jit(self.renderer.forward_evaluate)
+        fwd = self.cached_jit(
+            "eval_fwd", lambda: jax.jit(self.renderer.forward_evaluate)
+        )
 
         for i in self.tqdm(img_idxes, desc="eval", leave=False):
             data = self.test_dataset[int(i)]

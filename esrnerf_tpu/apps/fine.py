@@ -9,7 +9,6 @@ gamma variants and HDR-EXR MSE.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Dict, List
 
@@ -196,7 +195,9 @@ class Fine(AppClass):
         w_lin = self.weight_linear
         white_bg = self.white_bg
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        sh = self.shard_helpers()
+        self.check_shardable(self.train_bs)
+
         def train_step(params, opt_state, batch, s_val, lr_scales, tv_flag,
                        smooth_grad_tv, sdf_tv_w, tv_dense):
             def loss_fn(p):
@@ -208,27 +209,32 @@ class Fine(AppClass):
                 srgb = jnp.clip(res["srgb/rgb"] + wbg, 0.0, 1.0)
                 lin = jnp.clip(res["lin/rgb"] + wbg, 0.0, None)
                 rgbs = batch["rgbs"]
-                mse = ((srgb - rgbs) ** 2).mean()
+                mse = sh.gmean((srgb - rgbs) ** 2)
 
                 lin_tone = jnp.where(rgbs >= 1, jnp.clip(lin, None, 1.0), lin)
-                lin_mse = ((apply_gamma_curve(lin_tone) - rgbs) ** 2).mean()
+                lin_mse = sh.gmean((apply_gamma_curve(lin_tone) - rgbs) ** 2)
                 loss = mse + w_lin * lin_mse
 
-                # last-ray entropy quirk preserved (fine.py:378-382)
+                # last-ray entropy quirk preserved (fine.py:378-382); glast
+                # keeps it the *global* last ray when sharded
                 pout = jnp.clip(res["etc/alphainv_cum"][..., -1], 1e-6, 1 - 1e-6)
-                ent = -(
-                    pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout)
-                ).mean()
+                ent = sh.glast(
+                    -(pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout)).mean()
+                )
                 loss = loss + w_ent * ent
 
                 loss = loss + tv_flag * model.density_total_variation(
                     p, smooth_grad_tv
-                )
-                return loss, (mse, lin_mse)
+                ) / sh.n
+                return loss, (mse, lin_mse, res["etc/overflow"])
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads = sh.gsum(grads)
+            mse, lin_mse, ovf = aux
 
-            # in-place SDF TV -> gradient term (fine.py:397-401)
+            # in-place SDF TV -> gradient term (fine.py:397-401), added once
+            # to the global (psum'd) gradient so sparse mode sees the same
+            # nonzero pattern as a single-device run
             tv_dense_g = model.sdf_tv_grad(params["sdf"], sdf_tv_w)
             tv_sparse_g = model.sdf_tv_grad(
                 params["sdf"], sdf_tv_w, sparse_grad=grads["sdf"]
@@ -240,9 +246,9 @@ class Fine(AppClass):
             params, opt_state = opt.step(
                 params, grads, opt_state, lr_scales=lr_scales
             )
-            return params, opt_state, aux
+            return params, opt_state, (mse, lin_mse, sh.gmax(ovf))
 
-        return train_step
+        return self.wrap_train_step(train_step)
 
     def process(self) -> None:
         if self.phase == "train":
@@ -277,7 +283,7 @@ class Fine(AppClass):
                 self.tv_from < self.global_step < self.tv_end
                 and self.global_step % self.tv_every == 0
             )
-            self.params, self.opt_state, (mse, lin_mse) = train_step(
+            self.params, self.opt_state, (mse, lin_mse, ovf) = train_step(
                 self.params, self.opt_state, batch, jnp.float32(s_val),
                 {k: jnp.float32(v) for k, v in self.lr_scales.items()},
                 jnp.float32(1.0 if tv_on else 0.0),
@@ -307,6 +313,7 @@ class Fine(AppClass):
                         f"Iter {self.global_step:05d} (s) psnr = "
                         f"{means['srgb/PSNR']:.2f} (l) psnr = {means['lin/PSNR']:.2f}"
                     )
+                means["etc/overflow"] = self.track_overflow(ovf)
                 logger.log(
                     {f"train/metric/{k}": v for k, v in means.items()},
                     step=self.global_step,
@@ -350,7 +357,9 @@ class Fine(AppClass):
     # ----------------------------------------------------------------- eval
 
     def _eval_fwd(self):
-        return jax.jit(self.renderer.forward_evaluate)
+        return self.cached_jit(
+            "eval_fwd", lambda: jax.jit(self.renderer.forward_evaluate)
+        )
 
     def _decompose_pbr(self, pbr_pts, n_rays: int, s_val):
         """Hook: chunked LTS decomposition (LTS/PDRA stages only)."""

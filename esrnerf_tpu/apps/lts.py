@@ -11,7 +11,6 @@ decomposition.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Dict, List
 
@@ -28,10 +27,13 @@ from esrnerf_tpu.utils import checkpoint as ckpt_io
 from esrnerf_tpu.utils.metrics import loss2psnr
 
 
-def masked_mse(a, b, valid):
+def masked_mse(a, b, valid, gsum=lambda x: x):
+    """Count-normalized masked MSE; pass ``gsum`` (cross-shard psum) so the
+    numerator AND denominator are global under shard_map — mean-of-shard-
+    means would drift when valid counts are unbalanced."""
     v = valid[:, None].astype(a.dtype)
-    n = jnp.maximum(v.sum() * a.shape[-1], 1.0)
-    return (((a - b) ** 2) * v).sum() / n
+    n = jnp.maximum(gsum(v.sum()) * a.shape[-1], 1.0)
+    return gsum((((a - b) ** 2) * v).sum()) / n
 
 
 class LTS(Fine):
@@ -141,9 +143,16 @@ class LTS(Fine):
         normal_eps = self.normal_eps
         emit_eps = self.emit_eps
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        sh = self.shard_helpers()
+        self.check_shardable(self.train_bs)
+        # shard the LTS fan-out: each shard selects its slice of the
+        # num_ltspts surface points from its local march
+        model.lts_points_divisor = sh.n
+
         def train_step(params, opt_state, batch, s_val, lr_scales, tv_flag,
                        smooth_grad_tv, sdf_tv_w, tv_dense, rng):
+            rng = sh.fold_key(rng)
+
             def loss_fn(p):
                 res = model.forward_training(
                     p, batch["rays_o"], batch["rays_d"], batch["viewdirs"],
@@ -154,37 +163,43 @@ class LTS(Fine):
                 srgb = jnp.clip(res["srgb/rgb"] + wbg, 0.0, 1.0)
                 lin = jnp.clip(res["lin/rgb"] + wbg, 0.0, None)
                 rgbs = batch["rgbs"]
-                mse = ((srgb - rgbs) ** 2).mean()
+                mse = sh.gmean((srgb - rgbs) ** 2)
 
                 lin_tone = jnp.where(rgbs >= 1, jnp.clip(lin, None, 1.0), lin)
-                lin_mse = ((apply_gamma_curve(lin_tone) - rgbs) ** 2).mean()
+                lin_mse = sh.gmean((apply_gamma_curve(lin_tone) - rgbs) ** 2)
                 loss = mse + w_lin * lin_mse
 
                 lv = res["lin/pbr/valid"]
-                off_l = masked_mse(res["lin/pbr/off"], res["lin/pbr/off_hat"], lv)
-                emo_l = masked_mse(res["lin/pbr/emo"], res["lin/pbr/emo_hat"], lv)
+                off_l = masked_mse(
+                    res["lin/pbr/off"], res["lin/pbr/off_hat"], lv, sh.gsum
+                )
+                emo_l = masked_mse(
+                    res["lin/pbr/emo"], res["lin/pbr/emo_hat"], lv, sh.gsum
+                )
                 loss = loss + w_lts * (off_l + emo_l)
 
                 pout = jnp.clip(res["etc/alphainv_cum"][..., -1], 1e-6, 1 - 1e-6)
-                ent = -(
-                    pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout)
-                ).mean()
+                ent = sh.glast(
+                    -(pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout)).mean()
+                )
                 loss = loss + w_ent * ent
 
                 # normal smoothness on the per-point expected gradients,
                 # masked to real samples (reference lts.py:391-393)
                 pv = res["etc/point_valid"][:, None].astype(jnp.float32)
-                nsm = (
-                    jnp.abs(res["etc/normal"] - res["etc/normal_eps"]) * pv
-                ).sum() / jnp.maximum(pv.sum() * 3, 1.0)
+                nsm = sh.gsum(
+                    (jnp.abs(res["etc/normal"] - res["etc/normal_eps"]) * pv).sum()
+                ) / jnp.maximum(sh.gsum(pv.sum()) * 3, 1.0)
                 loss = loss + w_nsm * nsm
 
                 loss = loss + tv_flag * model.density_total_variation(
                     p, smooth_grad_tv
-                )
-                return loss, (mse, lin_mse, off_l, emo_l)
+                ) / sh.n
+                return loss, (mse, lin_mse, off_l, emo_l, res["etc/overflow"])
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads = sh.gsum(grads)
+            mse, lin_mse, off_l, emo_l, ovf = aux
             tv_dense_g = model.sdf_tv_grad(params["sdf"], sdf_tv_w)
             tv_sparse_g = model.sdf_tv_grad(
                 params["sdf"], sdf_tv_w, sparse_grad=grads["sdf"]
@@ -195,9 +210,10 @@ class LTS(Fine):
             params, opt_state = opt.step(
                 params, grads, opt_state, lr_scales=lr_scales
             )
-            return params, opt_state, aux
+            return params, opt_state, (mse, lin_mse, off_l, emo_l,
+                                       sh.gmax(ovf))
 
-        return train_step
+        return self.wrap_train_step(train_step)
 
     def learn(self) -> None:
         from esrnerf_tpu.config import save_cfg
@@ -236,7 +252,7 @@ class LTS(Fine):
                 ),
                 jnp.bool_(self.global_step < self.tv_dense_before), sub,
             )
-            mse, lin_mse, off_l, emo_l = aux
+            mse, lin_mse, off_l, emo_l, ovf = aux
 
             decay = self.lr_scheduler.decay_factor
             for k in self.lr_scales:
@@ -261,6 +277,7 @@ class LTS(Fine):
                         f"{means['lin/pbr/off_MSE']:.5f} em = "
                         f"{means['lin/pbr/emo_MSE']:.5f}"
                     )
+                means["etc/overflow"] = self.track_overflow(ovf)
                 logger.log(
                     {f"train/metric/{k}": v for k, v in means.items()},
                     step=self.global_step,
@@ -309,15 +326,21 @@ class LTS(Fine):
 
     def _eval_fwd(self):
         render_pbr = bool(self.render_pbr)
+        emit_grid_key = self._emit_grid_key()
 
-        @jax.jit
-        def fwd(params, rays_o, rays_d, viewdirs, em, pos_rt, s_val):
-            return self.renderer.forward_evaluate(
-                params, rays_o, rays_d, viewdirs, em, pos_rt, s_val,
-                render_pbr=render_pbr, emit_grid_key=self._emit_grid_key(),
-            )
+        def build():
+            @jax.jit
+            def fwd(params, rays_o, rays_d, viewdirs, em, pos_rt, s_val):
+                return self.renderer.forward_evaluate(
+                    params, rays_o, rays_d, viewdirs, em, pos_rt, s_val,
+                    render_pbr=render_pbr, emit_grid_key=emit_grid_key,
+                )
 
-        return fwd
+            return fwd
+
+        return self.cached_jit(
+            "eval_fwd", build, key_extra=(render_pbr, emit_grid_key)
+        )
 
     def _emit_grid_key(self) -> str:
         return "emit_color" if "emit_color" in self.params else "emo_color"
@@ -329,14 +352,16 @@ class LTS(Fine):
         chunk = self.chunk_sz
         K = int(pbr_pts["pts"].shape[0])
 
-        if not hasattr(self, "_lts_chunk_fn"):
+        def build():
             @jax.jit
             def lts_chunk(params, key, pts, vd, nrm, bc, rough, metal, s):
                 return model.lts_eval_chunk(
                     params, key, pts, vd, nrm, bc, rough, metal, s
                 )
 
-            self._lts_chunk_fn = lts_chunk
+            return lts_chunk
+
+        self._lts_chunk_fn = self.cached_jit("lts_chunk", build)
 
         key = jax.random.PRNGKey(0)
         parts: Dict[str, List[np.ndarray]] = {}

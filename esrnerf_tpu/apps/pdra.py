@@ -31,10 +31,12 @@ from esrnerf_tpu.utils import checkpoint as ckpt_io
 from esrnerf_tpu.utils.metrics import IoU, loss2psnr
 
 
-def masked_l1(a, b, valid):
+def masked_l1(a, b, valid, gsum=lambda x: x):
+    """Count-normalized masked L1; ``gsum`` (cross-shard psum) globalizes
+    both numerator and denominator under shard_map."""
     v = valid[:, None].astype(a.dtype)
-    n = jnp.maximum(v.sum() * a.shape[-1], 1.0)
-    return (jnp.abs(a - b) * v).sum() / n
+    n = jnp.maximum(gsum(v.sum()) * a.shape[-1], 1.0)
+    return gsum((jnp.abs(a - b) * v).sum()) / n
 
 
 class PDRA(LTS):
@@ -128,10 +130,12 @@ class PDRA(LTS):
         """Re-render per-ray emission for the uncertain pool and move rays
         with max emission <= k_val to the certain pool
         (reference pdra.py:882-932)."""
-        if not hasattr(self, "_emit_fn"):
-            self._emit_fn = jax.jit(
+        self._emit_fn = self.cached_jit(
+            "emit_fn",
+            lambda: jax.jit(
                 lambda p, ro, rd, vd, s: self.renderer.eval_emit(p, ro, rd, vd, s)
-            )
+            ),
+        )
         rays_o = self.sampler.uncert_data["rays_o"]
         rays_d = self.sampler.uncert_data["rays_d"]
         viewdirs = self.sampler.uncert_data["viewdirs"]
@@ -189,9 +193,14 @@ class PDRA(LTS):
         normal_eps = self.normal_eps
         emit_eps = self.emit_eps
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        sh = self.shard_helpers()
+        self.check_shardable(self.train_uncert_bs + self.train_cert_bs)
+        model.lts_points_divisor = sh.n
+
         def train_step(params, opt_state, batch, s_val, lr_scales, tv_flag,
                        smooth_grad_tv, sdf_tv_w, tv_dense, rng):
+            rng = sh.fold_key(rng)
+
             def loss_fn(p):
                 res = model.forward_training(
                     p, batch["rays_o"], batch["rays_d"], batch["viewdirs"],
@@ -202,41 +211,43 @@ class PDRA(LTS):
                 srgb = jnp.clip(res["srgb/rgb"] + wbg, 0.0, 1.0)
                 lin = jnp.clip(res["lin/rgb"] + wbg, 0.0, None)
                 rgbs = batch["rgbs"]
-                mse = ((srgb - rgbs) ** 2).mean()
+                mse = sh.gmean((srgb - rgbs) ** 2)
 
                 lin_tone = jnp.where(rgbs >= 1, jnp.clip(lin, None, 1.0), lin)
-                lin_mse = ((apply_gamma_curve(lin_tone) - rgbs) ** 2).mean()
+                lin_mse = sh.gmean((apply_gamma_curve(lin_tone) - rgbs) ** 2)
                 loss = mse + w_lin * lin_mse
 
                 lv = res["lin/pbr/valid"]
                 sg = jax.lax.stop_gradient
-                off_l = masked_l1(res["lin/pbr/off"], res["lin/pbr/off_hat"], lv)
+                off_l = masked_l1(
+                    res["lin/pbr/off"], res["lin/pbr/off_hat"], lv, sh.gsum
+                )
                 emo_l = masked_l1(
-                    sg(res["lin/pbr/emo"]), res["lin/pbr/emo_hat"], lv
+                    sg(res["lin/pbr/emo"]), res["lin/pbr/emo_hat"], lv, sh.gsum
                 )
                 emo_r = masked_l1(
-                    res["lin/pbr/emo"], sg(res["lin/pbr/emo_hat"]), lv
+                    res["lin/pbr/emo"], sg(res["lin/pbr/emo_hat"]), lv, sh.gsum
                 )
                 loss = loss + w_lts * (off_l + w_lts_l * emo_l + w_lts_r * emo_r)
 
                 # emission suppression on certain rays (pdra.py:421-426)
                 cert = (~batch["uncert_masks"])[:, None].astype(jnp.float32)
                 emit_m = res["etc/emit_marched"]
-                denom = jnp.maximum(cert.sum() * 3, 1.0)
-                em_supp = ((emit_m**2) * cert).sum() / denom
+                denom = jnp.maximum(sh.gsum(cert.sum()) * 3, 1.0)
+                em_supp = sh.gsum(((emit_m**2) * cert).sum()) / denom
                 loss = loss + w_esupp * em_supp
 
                 pout = jnp.clip(res["etc/alphainv_cum"][..., -1], 1e-6, 1 - 1e-6)
-                ent = -(
-                    pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout)
-                ).mean()
+                ent = sh.glast(
+                    -(pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout)).mean()
+                )
                 loss = loss + w_ent * ent
 
                 pv = res["etc/point_valid"][:, None].astype(jnp.float32)
 
                 def pt_l1(a, b):
-                    n = jnp.maximum(pv.sum() * a.shape[-1], 1.0)
-                    return (jnp.abs(a - b) * pv).sum() / n
+                    n = jnp.maximum(sh.gsum(pv.sum()) * a.shape[-1], 1.0)
+                    return sh.gsum((jnp.abs(a - b) * pv).sum()) / n
 
                 loss = loss + w_nsm * pt_l1(
                     res["etc/normal"], res["etc/normal_eps"]
@@ -245,10 +256,12 @@ class PDRA(LTS):
 
                 loss = loss + tv_flag * model.density_total_variation(
                     p, smooth_grad_tv
-                )
-                return loss, (mse, lin_mse, off_l, emo_l)
+                ) / sh.n
+                return loss, (mse, lin_mse, off_l, emo_l, res["etc/overflow"])
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads = sh.gsum(grads)
+            mse, lin_mse, off_l, emo_l, ovf = aux
             tv_dense_g = model.sdf_tv_grad(params["sdf"], sdf_tv_w)
             tv_sparse_g = model.sdf_tv_grad(
                 params["sdf"], sdf_tv_w, sparse_grad=grads["sdf"]
@@ -259,9 +272,10 @@ class PDRA(LTS):
             params, opt_state = opt.step(
                 params, grads, opt_state, lr_scales=lr_scales
             )
-            return params, opt_state, aux
+            return params, opt_state, (mse, lin_mse, off_l, emo_l,
+                                       sh.gmax(ovf))
 
-        return train_step
+        return self.wrap_train_step(train_step)
 
     def save(self, path: str) -> None:
         ckpt_io.save_checkpoint(
@@ -304,10 +318,12 @@ class PDRA(LTS):
             [cv2.dilate(m, np.ones((ks, ks)), iterations=1) for m in em_masks]
         )  # [L, h, w]
 
-        if not hasattr(self, "_esp_fn"):
-            self._esp_fn = jax.jit(
+        self._esp_fn = self.cached_jit(
+            "esp_fn",
+            lambda: jax.jit(
                 lambda p, ro, rd, vd, s: self.renderer.eval_esp(p, ro, rd, vd, s)
-            )
+            ),
+        )
 
         rays_o = sampler.uncert_data["rays_o"]
         rays_d = sampler.uncert_data["rays_d"]
@@ -553,11 +569,17 @@ class PDRA(LTS):
         model = self.renderer
         render_pbr = bool(self.render_pbr)
 
-        @jax.jit
-        def fwd(params, rays_o, rays_d, viewdirs, em, pos_rt, s_val):
-            return model.forward_evaluate(
-                params, rays_o, rays_d, viewdirs, em, pos_rt, s_val,
-                render_pbr=render_pbr, emit_grid_key="emit_color",
-            )
+        def build():
+            @jax.jit
+            def fwd(params, rays_o, rays_d, viewdirs, em, pos_rt, s_val):
+                return model.forward_evaluate(
+                    params, rays_o, rays_d, viewdirs, em, pos_rt, s_val,
+                    render_pbr=render_pbr, emit_grid_key="emit_color",
+                )
 
-        return fwd
+            return fwd
+
+        # one jit reused across ALL test images (each finetune_radiance only
+        # swaps params, not the renderer) — re-jitting per image cost a full
+        # re-trace of the eval graph per relit view
+        return self.cached_jit("relight_fwd", build, key_extra=(render_pbr,))

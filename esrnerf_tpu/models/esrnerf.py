@@ -62,6 +62,11 @@ class ESRNeRF(VoxurfF):
             (3 + 3 * self.posbase_pe * 2) + self.color_dim + D * 3 + D * 6 + 1
         )
         self.pdra_mode = False
+        # shard_map trainers set this to the shard count: each shard selects
+        # num_ltspts / divisor surface points from its local march, so the
+        # global LTS fan-out (and the psum'd masked losses over it) matches
+        # the single-device semantics
+        self.lts_points_divisor = 1
 
     # ------------------------------------------------------------------ init
 
@@ -320,7 +325,8 @@ class ESRNeRF(VoxurfF):
         )
         normal = jax.lax.stop_gradient(normal)
 
-        sel, lts_valid = self._select_lts_points(k_sel, m, self.num_ltspts)
+        n_lts = -(-self.num_ltspts // self.lts_points_divisor)
+        sel, lts_valid = self._select_lts_points(k_sel, m, n_lts)
         lts = self.light_transport_segment(
             params, k_scat,
             m.pts[sel], viewdirs[rid[sel]], normal[sel], m.sdf[sel],

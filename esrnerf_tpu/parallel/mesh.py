@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -61,6 +62,104 @@ def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _psum_id_grad(tree, axis: str):
+    """``psum`` whose VJP is the identity.
+
+    Inside a differentiated shard_map body with ``check_vma=False``, plain
+    ``lax.psum`` transposes to another ``psum`` — so a replicated cotangent
+    (the loss seed 1.0) comes back multiplied by the shard count, inflating
+    every downstream gradient n-fold. For "recipe B" (global loss value on
+    every shard, LOCAL gradient contribution per shard, one psum of grads
+    after ``value_and_grad``) the correct cotangent is the identity: each
+    shard's local numerator enters the global sum exactly once.
+    """
+
+    @jax.custom_vjp
+    def f(x):
+        return jax.lax.psum(x, axis)
+
+    def fwd(x):
+        return jax.lax.psum(x, axis), None
+
+    def bwd(_, ct):
+        return (ct,)
+
+    f.defvjp(fwd, bwd)
+    return jax.tree.map(f, tree)
+
+
+class ShardHelpers:
+    """Cross-shard reduction helpers for a train-step body.
+
+    Written so the single-device instance (``axis=None``) is the exact
+    identity: a step body using these computes *global* quantities under
+    shard_map and the plain quantities on one device — one code path for
+    both. The scheme ("recipe B"):
+
+    - every data-dependent loss term is ``gsum(numerator) / global_count``
+      (exact even for count-normalized masked losses, unlike mean-of-
+      shard-means);
+    - parameter-only terms (TV) divide by ``n`` so their psum'd gradient
+      contributes once;
+    - after ``value_and_grad`` the grads are ``gsum``'d (each shard holds
+      only its local data's contribution to the already-global loss, because
+      ``gsum``'s VJP is the identity — see :func:`_psum_id_grad`);
+    - the optimizer then runs identically on every shard.
+    """
+
+    def __init__(self, axis: Optional[str], n: int):
+        self.axis = axis
+        self.n = n
+
+    def gsum(self, tree):
+        """Cross-shard sum (psum value, identity gradient) of a tree."""
+        if self.axis is None:
+            return tree
+        return _psum_id_grad(tree, self.axis)
+
+    def gmean(self, x):
+        """Global mean of a per-shard array (equal-sized shards)."""
+        return self.gsum(x.sum()) / (x.size * self.n)
+
+    def gmax(self, x):
+        if self.axis is None:
+            return x
+        return jax.lax.pmax(x, self.axis)
+
+    def glast(self, x):
+        """The value on the LAST shard (global-last-row quirks). Identity-
+        gradient psum: the cotangent flows back through the ``where`` so only
+        the last shard's local grad carries the term — matching the
+        single-device semantics after the outer grad psum."""
+        if self.axis is None:
+            return x
+        idx = jax.lax.axis_index(self.axis)
+        return _psum_id_grad(
+            jnp.where(idx == self.n - 1, x, jnp.zeros_like(x)), self.axis
+        )
+
+    def fold_key(self, key):
+        """Decorrelate per-shard rng draws."""
+        if self.axis is None:
+            return key
+        return jax.random.fold_in(key, jax.lax.axis_index(self.axis))
+
+
+def wrap_step_shard_map(mesh: Mesh, step_impl, n_args: int,
+                        axis: str = "data", donate=(0, 1)):
+    """shard_map + jit a train step ``(params, opt_state, batch, *extras)``
+    -> ``(params, opt_state, aux)``: batch leading dims shard over ``axis``,
+    everything else replicated. ``step_impl`` must already fold cross-shard
+    reductions via :class:`ShardHelpers` (check_rep can't verify that, so
+    outputs are trusted replicated)."""
+    specs = (P(), P(), P(axis)) + (P(),) * (n_args - 3)
+    fn = jax.shard_map(
+        step_impl, mesh=mesh, in_specs=specs, out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=donate)
+
+
 def sharded_train_step(mesh: Mesh, loss_fn, opt, axis: str = "data",
                        has_rng: bool = False):
     """Build a ``shard_map`` data-parallel train step — the fast path.
@@ -79,10 +178,6 @@ def sharded_train_step(mesh: Mesh, loss_fn, opt, axis: str = "data",
     loss)`` — jitted; params/opt_state replicated, batch leading dims
     sharded over ``axis``.
     """
-    import functools
-
-    from jax.experimental.shard_map import shard_map
-
     bspec = P(axis)
     rspec = P()
 
@@ -95,10 +190,10 @@ def sharded_train_step(mesh: Mesh, loss_fn, opt, axis: str = "data",
         return params, opt_state, loss
 
     in_specs = [rspec, rspec, bspec] + ([rspec] if has_rng else [])
-    sharded = shard_map(
+    sharded = jax.shard_map(
         _step, mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=(rspec, rspec, rspec),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

@@ -91,6 +91,115 @@ def test_dryrun_multichip_entrypoint():
     ge.dryrun_multichip(min(8, len(jax.devices())))
 
 
+def _tiny_esrnerf(cfg, seed=0):
+    """Tiny ESRNeRF on a synthetic occupancy blob (no dataset)."""
+    from esrnerf_tpu.models.esrnerf import ESRNeRF
+    from esrnerf_tpu.models.voxurf_base import make_mask_cache
+
+    g = np.linspace(-1, 1, 16)
+    xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+    occ = (np.sqrt(xx**2 + yy**2 + zz**2) < 0.7).astype(np.float32)
+    density = np.where(occ > 0, 20.0, -20.0)[..., None]
+    mask_cache = make_mask_cache(density, [-1, -1, -1], [1, 1, 1], 1e-6,
+                                 1e-3, 3)
+    model = ESRNeRF(cfg, 0.5, 4.0, [-1, -1, -1], [1, 1, 1], mask_cache,
+                    s_val=220.0, num_voxels=4096)
+    params = model.init_params(jax.random.PRNGKey(seed))
+    return model, params
+
+
+def test_lts_trainer_shard_map_matches_single_device():
+    """The REAL LTS stage train step (march compaction + secondary-ray
+    LTS fan-out + TV-grad term + Adam) must agree between one device and
+    the 8-shard shard_map fast path.
+
+    Randomness is made layout-invariant: fibonacci scattering
+    (deterministic per normal), eps weights 0 (noise draws multiplied
+    away), and num_ltspts = the full march budget so the random top-k
+    selection picks EVERY slot on both layouts (sums over the selected
+    set are then permutation-invariant)."""
+    from esrnerf_tpu.apps.lts import LTS
+
+    n_rays, ppr, D = 32, 16, 8
+    overrides = [
+        "app.phase=train",
+        "data.cls=esrnerf.ESRNeRF", "data.root=unused", "data.scene=unused",
+        "app.model.ray_sampling=fib",
+        "app.model.num_2ndrays=8",
+        f"app.model.num_ltspts={n_rays * ppr}",
+        "app.model.points_budget_per_2ndray=8",
+        f"app.model.points_budget_per_ray={ppr}",
+        "app.trainer.normal_eps=0.0",
+        "app.trainer.emit_eps=0.0",
+        # with eps=0 the smoothness term is a degenerate a-a=0: its exact-
+        # zero gradient picks up 1-ulp compiler-fusion noise on one layout
+        # only, which Adam's sign normalization amplifies to a full lr step
+        # — zero the weight so the degenerate term carries no gradient
+        "app.trainer.weight_normal_smooth=0.0",
+        f"app.trainer.batch_size={n_rays}",
+    ]
+
+    def build(mesh):
+        cfg = load_cfg("cfg/app/lts.yaml", list(overrides), root_dir=REPO)
+        app = LTS(cfg)
+        app._mesh = mesh  # bypass the device-count heuristic
+        app.renderer, params = _tiny_esrnerf(cfg)
+        app.opt = Adam({k: 0.01 for k in params})
+        return app, params, app.opt.init(params), app._build_train_step()
+
+    rng = np.random.default_rng(7)
+    o = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2
+    d = rng.normal(scale=0.3, size=(n_rays, 3)).astype(np.float32) - o
+    vd = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    batch_np = {
+        "rays_o": o, "rays_d": d.astype(np.float32),
+        "viewdirs": vd.astype(np.float32),
+        "em_modes": rng.integers(0, 2, n_rays),
+        "uncert_masks": rng.uniform(size=n_rays) > 0.3,
+        "rgbs": rng.uniform(0, 1, (n_rays, 3)).astype(np.float32),
+    }
+    extras = dict(
+        s_val=jnp.float32(220.0), tv_flag=jnp.float32(1.0),
+        smooth_grad_tv=jnp.float32(0.02), sdf_tv_w=jnp.float32(1e-4),
+        tv_dense=jnp.bool_(True), rng=jax.random.PRNGKey(3),
+    )
+
+    def run(app, params, state, step, batch, n_steps=2):
+        lr_scales = {k: jnp.float32(1.0) for k in params}
+        for _ in range(n_steps):
+            params, state, aux = step(
+                params, state, batch, extras["s_val"], lr_scales,
+                extras["tv_flag"], extras["smooth_grad_tv"],
+                extras["sdf_tv_w"], extras["tv_dense"], extras["rng"],
+            )
+        return params, aux
+
+    app1, params, state1, step1 = build(None)
+    b1 = jax.tree.map(jnp.asarray, batch_np)
+    p1, aux1 = run(app1, params, state1, step1, b1)
+
+    mesh = get_mesh(devices=jax.devices()[:D])
+    app2, params2, state2, step2 = build(mesh)
+    assert app2.parallel_mode == "shard_map"
+    assert app2.renderer.lts_points_divisor == D
+    p2r = jax.device_put(params2, replicated(mesh))
+    s2r = jax.device_put(app2.opt.init(params2), replicated(mesh))
+    b2 = shard_batch(jax.tree.map(jnp.asarray, batch_np), mesh)
+    p2, aux2 = run(app2, p2r, s2r, step2, b2)
+
+    # overflow must be zero on both layouts or the selected sets differ
+    assert float(aux1[-1]) == 0.0 and float(aux2[-1]) == 0.0
+    for a, b in zip(aux1[:-1], aux2[:-1]):
+        assert np.isclose(float(a), float(b), rtol=1e-4, atol=1e-7), (a, b)
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(p1[k])[0]),
+            np.asarray(jax.tree.leaves(p2[k])[0]),
+            rtol=2e-4, atol=1e-6, err_msg=k,
+        )
+
+
 def test_shard_map_fast_path_matches_single_device():
     """The shard_map step (local compactions, one grad pmean) must agree
     with the plain single-device step."""
