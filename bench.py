@@ -83,11 +83,11 @@ def main():
             lin = jnp.clip(res["lin/rgb"], 0, None)
             lin_tone = jnp.where(rgbs >= 1, jnp.clip(lin, None, 1.0), lin)
             loss += 0.1 * ((apply_gamma_curve(lin_tone) - rgbs) ** 2).mean()
-            return loss
+            return loss, res["etc/overflow"]
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, ovf), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         params, opt_state = opt.step(params, grads, opt_state, lr_scales=lrs)
-        return params, opt_state, loss
+        return params, opt_state, loss, ovf
 
     def make_batch(seed):
         r = np.random.default_rng(seed)
@@ -106,29 +106,38 @@ def main():
 
     for i in range(warmup):
         ro, rd, vd, em, rgbs = batches[i % len(batches)]
-        params, opt_state, loss = train_step(
+        params, opt_state, loss, ovf = train_step(
             params, opt_state, ro, rd, vd, em, rgbs, jnp.float32(80.0)
         )
-    jax.block_until_ready(loss)
+    # the comment above promises lossless marching — hold it to that
+    assert float(ovf) == 0.0, (
+        f"march overflow {float(ovf):.4f} > 0: budget too small, "
+        "rays/s would silently benefit from dropped samples"
+    )
 
     trace_dir = os.environ.get("BENCH_TRACE_DIR")
     if trace_dir:
         with jax.profiler.trace(trace_dir):
             for i in range(3):
                 ro, rd, vd, em, rgbs = batches[i % len(batches)]
-                params, opt_state, loss = train_step(
+                params, opt_state, loss, ovf = train_step(
                     params, opt_state, ro, rd, vd, em, rgbs, jnp.float32(80.0)
                 )
             jax.block_until_ready(loss)
 
+    # sync via a scalar device->host transfer: on the tunneled backend only
+    # float(...) truly synchronizes (PERF.md "Measured TPU/XLA
+    # characteristics"); block_until_ready can return early
     t0 = time.perf_counter()
     for i in range(iters):
         ro, rd, vd, em, rgbs = batches[i % len(batches)]
-        params, opt_state, loss = train_step(
+        params, opt_state, loss, ovf = train_step(
             params, opt_state, ro, rd, vd, em, rgbs, jnp.float32(80.0)
         )
-    jax.block_until_ready(loss)
+    final_loss = float(loss)
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
+    assert float(ovf) == 0.0, f"march overflow {float(ovf):.4f} in timed run"
 
     rays_per_sec = batch * iters / dt
 
