@@ -180,19 +180,39 @@ class RayGroupManager:
                        for k in self.keys}
             return out
 
-        u = take(self.uncert_data, u_st, u_en,
-                 self.uncert_batch_size if self.uncert_data_num > 0 else 0)
-        c = take(self.cert_data, c_st, c_en,
-                 self.cert_batch_size if self.cert_data_num > 0 else 0)
+        u = take(self.uncert_data, u_st, u_en, self.uncert_batch_size)
+        c = take(self.cert_data, c_st, c_en, self.cert_batch_size)
         u_n = len(u[self.keys[0]])
         c_n = len(c[self.keys[0]])
+        um = np.concatenate(
+            [np.ones(u_n, bool), np.zeros(c_n, bool)]
+        )
+
+        # An EMPTY pool can't wrap-fill its own block — borrow rows from the
+        # other pool, flagged with the borrowed pool's mask value, so the
+        # batch is (uncert_bs + cert_bs) rows from step 0. The reference
+        # emits a shrunken batch until the first regroup
+        # (utils2/utils.py:269-303); at production shapes that is one extra
+        # full train-step compile mid-run (minutes on this backend).
+        def borrow(dst, n_dst, want, src, src_n, flag):
+            pad_n = want - n_dst
+            if pad_n <= 0 or src_n == 0:
+                return dst, np.array([], bool)
+            extra = self.rng.integers(0, src_n, pad_n)
+            dst = {k: np.concatenate([dst[k], src[k][extra]], 0)
+                   for k in self.keys}
+            return dst, np.full(pad_n, flag, bool)
+
+        u, u_pad_m = borrow(u, u_n, self.uncert_batch_size,
+                            self.cert_data, self.cert_data_num, False)
+        c, c_pad_m = borrow(c, c_n, self.cert_batch_size,
+                            self.uncert_data, self.uncert_data_num, True)
         batch = {
             k: np.concatenate([u[k], c[k]], 0) for k in self.keys
         }
-        um = np.ones(u_n + c_n, dtype=bool)
-        if c_n > 0:
-            um[-c_n:] = False
-        batch["uncert_masks"] = um
+        batch["uncert_masks"] = np.concatenate(
+            [um[:u_n], u_pad_m, um[u_n:], c_pad_m]
+        )
         return batch
 
     def state(self) -> dict:
