@@ -1,8 +1,12 @@
 """Config system: composition order, interpolation, overrides, save/reload."""
 
+import pytest
 import os
 
 from esrnerf_tpu.config import customize_cfg, load_cfg, missing_keys, save_cfg
+
+pytestmark = pytest.mark.quick
+
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -12,6 +12,9 @@ from esrnerf_tpu.config import customize_cfg, load_cfg
 from esrnerf_tpu.data.dtu import DTU
 from esrnerf_tpu.data.synthetic import write_dtu_scene
 
+pytestmark = pytest.mark.e2e
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

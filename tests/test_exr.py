@@ -6,6 +6,8 @@ import pytest
 
 from esrnerf_tpu.utils import exr
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.mark.parametrize("half", [True, False])
 @pytest.mark.parametrize("compression", ["none", "zip", "zips"])

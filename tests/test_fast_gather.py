@@ -9,6 +9,8 @@ import pytest
 from esrnerf_tpu.ops import grid as gridops
 from esrnerf_tpu.ops import render as renderops
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module")
 def rng():

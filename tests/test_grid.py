@@ -14,6 +14,8 @@ import torch.nn.functional as F
 
 from esrnerf_tpu.ops import grid as gridops
 
+pytestmark = pytest.mark.quick
+
 
 def torch_grid_sample(grid_xyzc, pts, xyz_min, xyz_max, padding="zeros"):
     """Reference-convention grid_sample: grid [X,Y,Z,C] -> [1,C,X,Y,Z]."""

@@ -1,6 +1,7 @@
 """sRGB gamma, HSV, PBR function parity (reference ``utils2/image.py``,
 ``app/utils/pbr/functions.py``)."""
 
+import pytest
 import math
 
 import jax
@@ -8,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from esrnerf_tpu.ops import image, pbr
+
+pytestmark = pytest.mark.quick
 
 
 def test_gamma_roundtrip_and_values():

@@ -14,6 +14,8 @@ from esrnerf_tpu.ops import render as renderops
 
 import os
 
+pytestmark = pytest.mark.quick
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

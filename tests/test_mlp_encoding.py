@@ -1,5 +1,6 @@
 """MLP init/apply vs torch Linear stacks; positional encoding layout."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +8,8 @@ import torch
 
 from esrnerf_tpu.models import mlp
 from esrnerf_tpu.ops import encoding
+
+pytestmark = pytest.mark.quick
 
 
 def test_posenc_layout_matches_reference():

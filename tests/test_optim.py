@@ -2,6 +2,7 @@
 ``app/utils/optimizer.py:63-228``), incl. per-voxel LR and per-group decay,
 and the CosineLR schedule values (``optimizer.py:231-275``)."""
 
+import pytest
 import math
 
 import jax.numpy as jnp
@@ -10,6 +11,8 @@ import torch
 
 from esrnerf_tpu.optim import Adam, CosineLR, exp_decay_factor
 from esrnerf_tpu.optim.adam import make_pervoxel_lr
+
+pytestmark = pytest.mark.quick
 
 
 class TorchRefAdam(torch.optim.Optimizer):

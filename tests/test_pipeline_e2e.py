@@ -11,6 +11,9 @@ import pytest
 from esrnerf_tpu.config import customize_cfg, load_cfg
 from esrnerf_tpu.data.synthetic import write_scene
 
+pytestmark = pytest.mark.e2e
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -2,10 +2,13 @@
 (``render_utils_kernel.cu:11-242``) and the DVGO python sampler
 (``dvgo.py:140-172``)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from esrnerf_tpu.ops import ray as rayops
+
+pytestmark = pytest.mark.quick
 
 
 def oracle_sample_pts(rays_o, rays_d, xyz_min, xyz_max, near, far, stepdist):

@@ -2,11 +2,14 @@
 CUDA semantics (``render_utils_kernel.cu:576-707``) and the reference torch
 formulas (``app/utils/base/functions.py:45-105``)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from esrnerf_tpu.ops import render
+
+pytestmark = pytest.mark.quick
 
 
 def oracle_alpha2weight(alpha, mask, n_rays_early_exit=1e-3):

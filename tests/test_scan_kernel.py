@@ -9,6 +9,8 @@ import pytest
 from esrnerf_tpu.ops import render as renderops
 from esrnerf_tpu.ops import scan as scanops
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.mark.parametrize("seed", [0, 1])
 @pytest.mark.parametrize("ee", [1e-3, None])

@@ -8,6 +8,8 @@ import pytest
 from esrnerf_tpu.ops import splat as splatops
 from esrnerf_tpu.ops import grid as gridops
 
+pytestmark = pytest.mark.quick
+
 
 def _mk_streams(rng, M, S, C, n_cells, spread):
     base = np.sort(rng.integers(-4, spread, size=M)).astype(np.int32)

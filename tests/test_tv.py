@@ -2,10 +2,13 @@
 (``functions.py:34-42``) and the CUDA in-place grad kernel
 (``total_variation_kernel.cu:13-133``, corrected per-axis weights)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from esrnerf_tpu.ops import tv
+
+pytestmark = pytest.mark.quick
 
 
 def test_total_variation_matches_reference():
