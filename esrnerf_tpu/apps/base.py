@@ -266,6 +266,21 @@ class AppClass:
             except Exception:  # h264 encoder may be absent; fall back to gif
                 imageio.mimwrite(os.path.join(vdir, f"{parts[-1]}.gif"), v, fps=30)
 
+        # mirror eval media to wandb when live (reference fine.py:642-658)
+        vids = {}
+        for k in renders:
+            parts = k.split("/")
+            for ext in ("mp4", "gif"):
+                p = os.path.join(dirs["video"], *parts[:-1], f"{parts[-1]}.{ext}")
+                if os.path.exists(p):
+                    vids[f"{self.phase}/video/{k}"] = p
+                    break
+        self.get_logger().log_media(
+            step=self.global_step,
+            images={f"{self.phase}/image/{k}": v for k, v in renders.items()},
+            videos=vids,
+        )
+
         with open(os.path.join(dirs["text"], "mean.txt"), "w") as f:
             ks = sorted(metrics.keys())
             f.write(

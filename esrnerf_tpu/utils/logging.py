@@ -62,6 +62,31 @@ class Logger:
         if self._wandb_run is not None:
             self._wandb_run.log(clean, step=step)
 
+    def log_media(
+        self,
+        step: int,
+        images: Optional[Dict[str, Any]] = None,
+        videos: Optional[Dict[str, str]] = None,
+    ) -> None:
+        """Push eval media to wandb when live (reference fine.py:642-658
+        logs every eval image/video). Disk artifacts are written by the
+        trainers regardless; this only adds the wandb mirror.
+
+        ``images``: key -> uint8 HWC array (or list of them);
+        ``videos``: key -> path of an encoded video file.
+        """
+        if self._wandb_run is None:
+            return
+        payload: Dict[str, Any] = {}
+        for k, v in (images or {}).items():
+            imgs = v if isinstance(v, (list, tuple)) else [v]
+            payload[k] = [_wandb.Image(np.asarray(im)) for im in imgs]
+        for k, path in (videos or {}).items():
+            if os.path.exists(path):
+                payload[k] = _wandb.Video(path)
+        if payload:
+            self._wandb_run.log(payload, step=step)
+
     def finish(self) -> None:
         self._jsonl.close()
         if self._wandb_run is not None:

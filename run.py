@@ -26,6 +26,30 @@ STAGE_REGISTRY = {
 }
 
 
+def _snapshot_code(log_dir: str) -> None:
+    """Copy the code tree into the log dir so every run is reproducible
+    from its own artifacts (reference ``run.py:27-43``). Skipped when the
+    run resumes into a dir that already holds a snapshot."""
+    import shutil
+
+    dst = os.path.join(log_dir, "code")
+    if os.path.exists(dst):
+        return
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ignore = shutil.ignore_patterns(
+        "__pycache__", "*.pyc", ".git", "logs", "*.so", "*.o"
+    )
+    try:
+        os.makedirs(dst)
+        shutil.copytree(os.path.join(repo, "esrnerf_tpu"),
+                        os.path.join(dst, "esrnerf_tpu"), ignore=ignore)
+        shutil.copytree(os.path.join(repo, "cfg"),
+                        os.path.join(dst, "cfg"), ignore=ignore)
+        shutil.copy2(os.path.join(repo, "run.py"), dst)
+    except OSError as e:  # snapshot failure must not kill a training run
+        print(f"code snapshot failed ({e!r}); continuing")
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-cn", "--config-name", required=True,
@@ -51,6 +75,7 @@ def main(argv=None) -> None:
         jax.config.update("jax_platforms", "cpu")
     os.makedirs(cfg.log["dir"], exist_ok=True)
     save_cfg(cfg)
+    _snapshot_code(cfg.log["dir"])
 
     seed_everything(cfg.system["seed"])
 
