@@ -78,22 +78,60 @@ def rgb_ssim(
     return ssim_map if return_map else float(np.mean(ssim_map))
 
 
+def _load_lpips(net_name: str):
+    """Resolve an LPIPS scorer, in priority order:
+
+    1. ``LPIPS_WEIGHTS`` env var (or ``LPIPS_WEIGHTS_<NET>`` for per-net
+       files): path to a self-contained TorchScript module taking two
+       ``[1,3,H,W]`` tensors in [-1, 1] and returning the scalar distance —
+       the only fully-offline option (this environment has zero egress, so
+       neither torchvision backbones nor the lpips package's weights can
+       download).
+    2. The ``lpips`` package with its bundled pretrained weights.
+    3. None -> callers report NaN with a one-time warning.
+    """
+    import os
+
+    path = os.environ.get(f"LPIPS_WEIGHTS_{net_name.upper()}") or os.environ.get(
+        "LPIPS_WEIGHTS"
+    )
+    if path:
+        try:
+            import torch
+
+            mod = torch.jit.load(path, map_location="cpu").eval()
+
+            def scripted(gt, im, normalize=True):
+                if normalize:  # [0,1] -> [-1,1] (lpips package convention)
+                    gt, im = 2 * gt - 1, 2 * im - 1
+                return mod(gt[None], im[None]).reshape(())
+
+            return scripted
+        except Exception as e:  # noqa: BLE001
+            warnings.warn(f"LPIPS_WEIGHTS={path} failed to load ({e!r})")
+    try:
+        import lpips  # type: ignore
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return lpips.LPIPS(net=net_name, version="0.1").eval()
+    except Exception as e:  # pragma: no cover - environment dependent
+        warnings.warn(
+            f"LPIPS unavailable ({e!r}); reporting NaN. Provide a "
+            "TorchScript bundle via LPIPS_WEIGHTS=<path> for offline use."
+        )
+        return None
+
+
 def rgb_lpips(np_gt: np.ndarray, np_im: np.ndarray, net_name: str = "alex",
               device: str = "cpu") -> float:
-    """LPIPS perceptual distance via torch-cpu. Requires pretrained weights;
-    returns NaN (once-warned) when they can't be loaded (no network egress).
+    """LPIPS perceptual distance via torch-cpu. Needs pretrained weights
+    (``LPIPS_WEIGHTS`` TorchScript bundle or the lpips package); returns NaN
+    (once-warned) when neither can be loaded.
     """
     key = net_name
     if key not in __LPIPS__:
-        try:
-            import lpips  # type: ignore
-
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore")
-                __LPIPS__[key] = lpips.LPIPS(net=net_name, version="0.1").eval()
-        except Exception as e:  # pragma: no cover - environment dependent
-            warnings.warn(f"LPIPS unavailable ({e!r}); reporting NaN")
-            __LPIPS__[key] = None
+        __LPIPS__[key] = _load_lpips(net_name)
     model = __LPIPS__[key]
     if model is None:
         return float("nan")
