@@ -1,0 +1,140 @@
+"""Benchmark: LTS-stage training throughput — the pipeline's heaviest
+workload (reference cfg/app/lts.yaml:41-59: 40k iters x 8,192 primary rays,
+each step spawning num_ltspts(100) x num_2ndrays(256) secondary rays whose
+incoming radiance is volume-rendered, esrnerf.py:534-651).
+
+Drives the REAL LTS trainer step (apps/lts.py::_build_train_step — jit on
+one device, shard_map on a mesh). Prints one JSON line:
+  {"metric": "lts_train_rays_per_sec", "value": N, "unit": "rays/s", ...}
+where rays/s counts PRIMARY rays (the reference's unit), and the JSON also
+reports the secondary-ray rate.
+
+Env knobs: BENCH_NUM_VOXELS, BENCH_BATCH, BENCH_ITERS, BENCH_TRACE_DIR.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from esrnerf_tpu.apps.lts import LTS
+    from esrnerf_tpu.config import load_cfg
+    from esrnerf_tpu.models.esrnerf import ESRNeRF
+    from esrnerf_tpu.models.voxurf_base import make_mask_cache
+    from esrnerf_tpu.optim import Adam
+
+    num_voxels = int(os.environ.get("BENCH_NUM_VOXELS", 16777216))
+    batch = int(os.environ.get("BENCH_BATCH", 8192))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    warmup = 2
+
+    cfg = load_cfg(
+        "cfg/app/lts.yaml",
+        [
+            "app.phase=train",
+            "data.cls=esrnerf.ESRNeRF", "data.root=unused", "data.scene=unused",
+            f"app.trainer.batch_size={batch}",
+            # solid-ball scene needs a larger phase-1 budget (bench.py note);
+            # overflow asserted 0 below
+            "app.model.points_budget_masked_per_ray=384",
+        ],
+        root_dir=REPO,
+    )
+
+    g = np.linspace(-1, 1, 64)
+    xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+    density = np.where(
+        np.sqrt(xx**2 + yy**2 + zz**2) < 0.7, 20.0, -20.0
+    ).astype(np.float32)[..., None]
+    mask_cache = make_mask_cache(density, [-1, -1, -1], [1, 1, 1], 1e-6,
+                                 1e-3, 3)
+
+    app = LTS(cfg)
+    model = ESRNeRF(cfg, 0.5, 4.0, [-1, -1, -1], [1, 1, 1], mask_cache,
+                    s_val=220.0, num_voxels=num_voxels)
+    app.renderer = model
+    params = model.init_params(jax.random.PRNGKey(0))
+    app.opt = Adam({k: 1e-2 for k in params})
+    opt_state = app.opt.init(params)
+    train_step = app._build_train_step()
+
+    lrs = {k: jnp.float32(1.0) for k in params}
+    n_sec = model.num_ltspts * model.num_2ndrays
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        o = r.normal(size=(batch, 3)).astype(np.float32)
+        o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2.0
+        d = (r.normal(scale=0.3, size=(batch, 3)) - o).astype(np.float32)
+        vd = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        return {
+            "rays_o": jnp.asarray(o), "rays_d": jnp.asarray(d),
+            "viewdirs": jnp.asarray(vd),
+            "em_modes": jnp.asarray(r.integers(0, 2, batch)),
+            "uncert_masks": jnp.asarray(r.uniform(size=batch) > 0.3),
+            "rgbs": jnp.asarray(r.uniform(0, 1, (batch, 3)).astype(np.float32)),
+        }
+
+    batches = [make_batch(i) for i in range(4)]
+    extras = lambda: (
+        jnp.float32(220.0), lrs, jnp.float32(1.0), jnp.float32(0.02),
+        jnp.float32(1e-4), jnp.bool_(True), jax.random.PRNGKey(0),
+    )
+
+    for i in range(warmup):
+        params, opt_state, aux = train_step(
+            params, opt_state, batches[i % len(batches)], *extras()
+        )
+    ovf = float(aux[-1])
+    assert ovf == 0.0, f"march overflow {ovf:.4f}: budget too small"
+
+    trace_dir = os.environ.get("BENCH_TRACE_DIR")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            for i in range(2):
+                params, opt_state, aux = train_step(
+                    params, opt_state, batches[i % len(batches)], *extras()
+                )
+            jax.block_until_ready(aux)
+
+    # float() transfer is the only true sync through the tunnel (PERF.md)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, aux = train_step(
+            params, opt_state, batches[i % len(batches)], *extras()
+        )
+    final_mse = float(aux[0])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_mse), f"non-finite mse {final_mse}"
+    assert float(aux[-1]) == 0.0, f"march overflow {float(aux[-1]):.4f}"
+
+    print(
+        json.dumps(
+            {
+                "metric": "lts_train_rays_per_sec",
+                "value": round(batch * iters / dt, 1),
+                "unit": "rays/s",
+                "secondary_rays_per_sec": round(n_sec * iters / dt, 1),
+                "step_seconds": round(dt / iters, 3),
+                "batch": batch,
+                "num_secondary": n_sec,
+                "num_voxels": num_voxels,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
