@@ -597,28 +597,80 @@ def make_gradient_smooth_kernel_3d(sigma: float = 0.0) -> np.ndarray:
     return (k0 / k0.sum()).astype(np.float32)
 
 
-def conv3d_replicate(grid: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 3-D convolution with replicate padding on a ``[X,Y,Z,C]``
-    grid; each channel convolved with the same ``[k,k,k]`` kernel."""
+def _separate_kernel_3d(kernel: np.ndarray):
+    """Best rank-1 factorization k3 ~= kx (x) ky (x) kz via two SVDs;
+    returns (kx, ky, kz) or None when the kernel isn't separable."""
     k = kernel.shape[0]
+    u, s, vt = np.linalg.svd(kernel.reshape(k, k * k), full_matrices=False)
+    kx = u[:, 0] * s[0]
+    u2, s2, vt2 = np.linalg.svd(vt[0].reshape(k, k), full_matrices=False)
+    ky = u2[:, 0] * s2[0]
+    kz = vt2[0]
+    approx = kx[:, None, None] * ky[None, :, None] * kz[None, None, :]
+    if not np.allclose(approx, kernel, rtol=1e-5, atol=1e-7 * np.abs(kernel).max()):
+        return None
+    # fold signs so the dominant weights are positive (cosmetic)
+    if kx.sum() < 0:
+        kx, ky = -kx, -ky
+    if kz.sum() < 0:
+        kz, ky = -kz, -ky
+    return kx, ky, kz
+
+
+def _conv_axis_replicate(grid: jnp.ndarray, k1d: np.ndarray,
+                         axis: int) -> jnp.ndarray:
+    """1-D correlation along ``axis`` with replicate padding via shifted
+    adds: k scaled slices of the padded grid — pure VPU adds at HBM
+    bandwidth, no conv op."""
+    k = len(k1d)
     p = k // 2
-    x = jnp.pad(grid, ((p, p), (p, p), (p, p), (0, 0)), mode="edge")
-    C = grid.shape[-1]
-    # lhs [N=1, X, Y, Z, C]; rhs [k,k,k, in=1, out=C] with feature_group_count=C
-    lhs = x[None]
-    rhs = jnp.broadcast_to(kernel[..., None, None], (k, k, k, 1, C)).astype(grid.dtype)
-    out = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1, 1, 1),
-        padding="VALID",
-        dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
-        feature_group_count=C,
-        # full fp32: these convs smooth the SDF geometry, where bf16 default
-        # precision visibly shifts the zero level set
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[0]
+    pads = [(0, 0)] * grid.ndim
+    pads[axis] = (p, p)
+    xp = jnp.pad(grid, pads, mode="edge")
+    n = grid.shape[axis]
+    out = None
+    for d in range(k):
+        term = jnp.float32(k1d[d]) * jax.lax.slice_in_dim(xp, d, d + n,
+                                                          axis=axis)
+        out = term if out is None else out + term
+    return out
+
+
+def conv3d_replicate(grid: jnp.ndarray, kernel) -> jnp.ndarray:
+    """Depthwise 3-D convolution with replicate padding on a ``[X,Y,Z,C]``
+    grid; each channel convolved with the same ``[k,k,k]`` kernel.
+
+    Never lowers to ``conv_general_dilated``: XLA pads the NXYZC conv's
+    operands to MXU tiles, a 21x memory expansion at 256^3 (two ~4.2 GB
+    temps — the allocation that OOM'd the LTS step at 16.7M voxels). The
+    smoothing kernels here (Gaussian, binomial) are separable, so the conv
+    becomes 3 axis passes of k shifted adds each; non-separable kernels
+    fall back to a k^3 shifted-add stencil. Both are bandwidth-bound VPU
+    work in full fp32 (bf16 would visibly shift the SDF zero level set).
+
+    ``kernel`` must be a compile-time constant (numpy or concrete array).
+    """
+    kern = np.asarray(kernel, np.float32)
+    k = kern.shape[0]
+    sep = _separate_kernel_3d(kern)
+    if sep is not None:
+        out = grid
+        for axis, k1 in enumerate(sep):
+            out = _conv_axis_replicate(out, k1, axis)
+        return out
+    p = k // 2
+    xp = jnp.pad(grid, ((p, p), (p, p), (p, p), (0, 0)), mode="edge")
+    X, Y, Z = grid.shape[:3]
+    out = None
+    for i in range(k):
+        for j in range(k):
+            for l in range(k):
+                w = float(kern[i, j, l])
+                if w == 0.0:
+                    continue
+                term = jnp.float32(w) * xp[i:i + X, j:j + Y, l:l + Z]
+                out = term if out is None else out + term
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("ks",))

@@ -109,3 +109,37 @@ def test_conv3d_replicate_matches_torch():
     ref = conv(torch.from_numpy(np.moveaxis(g, -1, 0)[None]))[0].detach().numpy()
     np.testing.assert_allclose(np.asarray(ours), np.moveaxis(ref, 0, -1),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_conv3d_replicate_nonseparable_kernel():
+    """Random (rank>1) kernels take the k^3 shifted-add stencil path."""
+    rng = np.random.default_rng(5)
+    g = rng.normal(size=(6, 7, 5, 2)).astype(np.float32)
+    k = rng.normal(size=(3, 3, 3)).astype(np.float32)
+    ours = gridops.conv3d_replicate(jnp.asarray(g), k)
+
+    conv = torch.nn.Conv3d(2, 2, 3, stride=1, padding=1,
+                           padding_mode="replicate", groups=2, bias=False)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(np.tile(k[None, None], (2, 1, 1, 1, 1))))
+    ref = conv(torch.from_numpy(np.moveaxis(g, -1, 0)[None]))[0].detach().numpy()
+    np.testing.assert_allclose(np.asarray(ours), np.moveaxis(ref, 0, -1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_conv3d_replicate_binomial_separable():
+    """The gradient-smooth binomial kernel must hit the separable path and
+    stay exact."""
+    rng = np.random.default_rng(6)
+    g = rng.normal(size=(9, 6, 8, 3)).astype(np.float32)
+    k = gridops.make_gradient_smooth_kernel_3d()
+    assert gridops._separate_kernel_3d(np.asarray(k)) is not None
+    ours = gridops.conv3d_replicate(jnp.asarray(g), k)
+
+    conv = torch.nn.Conv3d(3, 3, 3, stride=1, padding=1,
+                           padding_mode="replicate", groups=3, bias=False)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(np.tile(k[None, None], (3, 1, 1, 1, 1))))
+    ref = conv(torch.from_numpy(np.moveaxis(g, -1, 0)[None]))[0].detach().numpy()
+    np.testing.assert_allclose(np.asarray(ours), np.moveaxis(ref, 0, -1),
+                               rtol=1e-4, atol=1e-5)
