@@ -53,8 +53,16 @@ class ESRNeRF(VoxurfF):
         self.num_2ndrays = int(m["num_2ndrays"])
         self.num_ltspts = int(m["num_ltspts"])
         self.lts_near = float(m["lts_near"])
-        # TPU-specific: compaction budget per secondary ray
+        # TPU-specific: compaction budgets per secondary ray (K2 heads /
+        # K1 phase-1). Secondary bounce rays survive far fewer occupancy
+        # taps than primary rays, so their phase-1 budget is much smaller
+        # than the primary points_budget_masked_per_ray — at production
+        # shapes (25,600 secondary rays) the difference is GBs of gather
+        # buffers.
         self.points_per_2ndray = int(m.get("points_budget_per_2ndray", 24))
+        self.points_per_2ndray_masked = int(
+            m.get("points_budget_masked_per_2ndray", 4 * self.points_per_2ndray)
+        )
 
         D = len(self.grad_feat)
         # brdf feature dim (reference esrnerf.py:181-184)
@@ -179,6 +187,7 @@ class ESRNeRF(VoxurfF):
             params["sdf"], rays_o, dirs, dirs, s_val, self.fastcolor_thres,
             self.neus_alpha, style="fine",
             k_budget=Nsec * self.points_per_2ndray,
+            k1_budget=Nsec * self.points_per_2ndray_masked,
             near_override=self.lts_near,
         )
         rid = jnp.minimum(m.ray_id, Nsec - 1)

@@ -235,6 +235,7 @@ class VoxurfGeometry:
         neus_alpha: str = "interp",
         gradient_grid: Optional[jnp.ndarray] = None,
         k_budget: Optional[int] = None,
+        k1_budget: Optional[int] = None,
         style: str = "coarse",
         near_override: Optional[float] = None,
     ) -> March:
@@ -260,7 +261,7 @@ class VoxurfGeometry:
         N = rays_o.shape[0]
         S = self.n_samples
         K2 = k_budget or (N * self.points_per_ray)
-        K1 = min(N * self.points_per_ray_masked, N * S)
+        K1 = min(k1_budget or (N * self.points_per_ray_masked), N * S)
 
         rs = self.sample_dense(rays_o, rays_d, near=near_override)
         sup = rs.valid & self.mask_cache.query_nearest(rs.pts)

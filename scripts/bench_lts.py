@@ -47,8 +47,11 @@ def main():
             "data.cls=esrnerf.ESRNeRF", "data.root=unused", "data.scene=unused",
             f"app.trainer.batch_size={batch}",
             # solid-ball scene needs a larger phase-1 budget (bench.py note);
-            # overflow asserted 0 below
+            # overflow asserted 0 below. The ball interior is fully occupied,
+            # so secondary bounce rays ALSO cross ~360 occupied steps — real
+            # scenes are shells and keep the much smaller default
             "app.model.points_budget_masked_per_ray=384",
+            "app.model.points_budget_masked_per_2ndray=384",
         ],
         root_dir=REPO,
     )
