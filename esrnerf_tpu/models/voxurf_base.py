@@ -116,6 +116,7 @@ class March(NamedTuple):
     cum_weights: jnp.ndarray    # [N]
     n_rays: int
     overflow: jnp.ndarray   # [] fraction of surviving samples dropped
+    n_valid: jnp.ndarray    # [] count of non-pad rows (pads are a tail)
 
 
 class VoxurfGeometry:
@@ -210,16 +211,18 @@ class VoxurfGeometry:
             grid, pts, jnp.asarray(self.xyz_min), jnp.asarray(self.xyz_max)
         )
 
-    def sample_grid_sorted(self, grid: jnp.ndarray,
-                           pts: jnp.ndarray) -> jnp.ndarray:
+    def sample_grid_sorted(self, grid: jnp.ndarray, pts: jnp.ndarray,
+                           n_valid=None) -> jnp.ndarray:
         """Trilinear sample at march points (cell-sorted by the phase-2
         compaction): chunk-major gather kernel forward, sort-free splat
-        backward. Use only with ``March.pts``."""
+        backward. Use only with ``March.pts``. Pass ``March.n_valid`` so
+        pad-tail chunks are skipped (their rows read as zeros — every
+        march consumer masks pads)."""
         from esrnerf_tpu.ops import splat as splatops
 
         return splatops.sorted_trilinear_sample(
             grid, pts.reshape(-1, 3), jnp.asarray(self.xyz_min),
-            jnp.asarray(self.xyz_max),
+            jnp.asarray(self.xyz_max), n_valid,
         )
 
     # ------------------------------------------------------------ the march
@@ -272,9 +275,28 @@ class VoxurfGeometry:
         (idx1,) = jnp.nonzero(flat1, size=K1, fill_value=-1)
         pad1 = idx1 < 0
         idx1c = jnp.maximum(idx1, 0)
-        pts1 = rs.pts.reshape(-1, 3)[idx1c]
         ray1 = jnp.where(pad1, N, idx1c // S)
         step1 = jnp.where(pad1, 0, idx1c % S)
+        # recompute compacted points from (ray, step) instead of gathering
+        # rows of the dense [N*S, 3] pts array: the gather forced XLA to
+        # materialize all N*S points in HBM (274 MB and ~0.9 s/step for the
+        # LTS secondary march); with only elementwise consumers left, the
+        # dense pts fuse into the mask computation and never hit HBM. Same
+        # float expression as sample_rays_dense (p = start + dirn*stepdist*s).
+        r1c = jnp.minimum(ray1, N - 1)
+        rnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        ray_pack = jnp.concatenate(
+            [rays_o + rays_d * rs.t_min[:, None], rays_d / rnorm], -1
+        )  # [N, 6] (start, dirn) — ONE wide row gather (playbook rule 1)
+        rp = ray_pack[r1c]
+        # per-component 1-D arithmetic: a [K1, 1] broadcast operand here
+        # becomes a multiply_select fusion output that XLA tile-pads 128x
+        # (1.5 GB per instance at fine-bench K1 — OOM'd the 16 GB chip)
+        sd = self.stepdist * step1.astype(rays_o.dtype)  # [K1] 1-D
+        pts1 = jnp.stack(
+            [rp[:, 0] + rp[:, 3] * sd,
+             rp[:, 1] + rp[:, 4] * sd,
+             rp[:, 2] + rp[:, 5] * sd], -1)
 
         exact = ~pad1 & self.mask_cache.query(pts1)
         sdf1 = self.sample_grid(sdf_grid_smooth, pts1)[..., 0]  # [K1]
@@ -288,12 +310,13 @@ class VoxurfGeometry:
         # applies (~3x faster than XLA's scatter lowering).
         lin = jnp.minimum(ray1, N) * S + step1  # pads land in row N
         dsize = (N + 1) * S
+        nv1 = jnp.minimum(n1, K1).astype(jnp.int32)
 
         from esrnerf_tpu.ops import splat as splatops
 
         def to_dense(x, fill=0):
             assert fill == 0
-            full = splatops.sorted_scatter_1d(lin, x, dsize)
+            full = splatops.sorted_scatter_1d(lin, x, dsize, n_valid=nv1)
             return full.reshape(N + 1, S)[:N]
 
         if neus_alpha == "grad":
@@ -337,7 +360,7 @@ class VoxurfGeometry:
         dense3 = jnp.concatenate(
             [dense3, jnp.zeros((S, 3), dense3.dtype)]
         )
-        flat3 = splatops.sorted_gather_rows(dense3, lin)  # [K1, 3]
+        flat3 = splatops.sorted_gather_rows(dense3, lin, n_valid=nv1)  # [K1, 3]
         keep = (flat3[:, 0] > 0.5) & ~pad1
         alpha2 = flat3[:, 1]
         weights = flat3[:, 2]
@@ -354,7 +377,8 @@ class VoxurfGeometry:
         pack1 = jnp.concatenate(
             [pts1, weights[:, None], alpha2[:, None], sdf1[:, None]], -1
         )  # [K1, 6]
-        pack2 = splatops.sorted_gather_rows(pack1, idx2c)  # [K2, 6]
+        nv2 = jnp.minimum(n2, K2).astype(jnp.int32)
+        pack2 = splatops.sorted_gather_rows(pack1, idx2c, n_valid=nv2)  # [K2, 6]
         lin2 = jnp.take(lin, idx2c)
 
         # re-order the compacted points by grid cell: every downstream
@@ -399,6 +423,7 @@ class VoxurfGeometry:
             pts=pts_c, ray_id=ray_c, step_id=step_c, weights=w_c, alpha=a_c,
             sdf=sdf_c, pad=pad, alphainv_last=alphainv_last,
             cum_weights=cum_weights, n_rays=N, overflow=overflow,
+            n_valid=nv2,
         )
 
     def segment_to_rays(self, march: March, values: jnp.ndarray) -> jnp.ndarray:
@@ -412,7 +437,8 @@ class VoxurfGeometry:
     # ------------------------------------- multi-scale SDF features/normals
 
     def sample_sdfeat_grad_normal(
-        self, sdf_grid: jnp.ndarray, pts: jnp.ndarray, displace
+        self, sdf_grid: jnp.ndarray, pts: jnp.ndarray, displace,
+        n_valid=None,
     ):
         """Displaced 6-neighbor SDF taps + finite-difference gradients +
         normalized normals (reference ``sample_sdfeat_grad_normal``,
@@ -433,7 +459,7 @@ class VoxurfGeometry:
         # taps per point (see ops.grid.displaced_taps)
         feat = gridops.displaced_taps(
             sdf_grid, pts, jnp.asarray(self.xyz_min),
-            jnp.asarray(self.xyz_max), displace_t,
+            jnp.asarray(self.xyz_max), displace_t, n_valid,
         )  # [M,6,D] in (-z,+z,-y,+y,-x,+x) offset order
 
         # actual (clamped) index distance along the displaced axis

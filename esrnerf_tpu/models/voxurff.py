@@ -122,10 +122,10 @@ class VoxurfF:
 
     # -------------------------------------------------------------- features
 
-    def _features(self, params, pts, viewdirs_per_pt, sdf):
+    def _features(self, params, pts, viewdirs_per_pt, sdf, n_valid=None):
         geo = self.geo
         feat6, _, normals = geo.sample_sdfeat_grad_normal(
-            params["sdf"], pts, self.grad_feat
+            params["sdf"], pts, self.grad_feat, n_valid
         )
         xyz_n = (pts - geo.xyz_min) / (geo.xyz_max - geo.xyz_min)
         posfreq = jnp.asarray([2.0**i for i in range(self.posbase_pe)])
@@ -150,10 +150,13 @@ class VoxurfF:
         feat = jnp.concatenate([lin_rgb, jnp.sin(emb), jnp.cos(emb)], -1)
         return jax.nn.sigmoid(mlpops.apply_mlp(params["tonemapper"], feat))
 
-    def _radiance(self, params, head: str, pts, feat, sorted_pts=False):
+    def _radiance(self, params, head: str, pts, feat, sorted_pts=False,
+                  n_valid=None):
         grid = params[f"{head}_color"]
-        samp = (self.geo.sample_grid_sorted if sorted_pts
-                else self.geo.sample_grid)
+        if sorted_pts:
+            samp = lambda g, p: self.geo.sample_grid_sorted(g, p, n_valid)
+        else:
+            samp = self.geo.sample_grid
         x = jnp.concatenate([samp(grid, pts), feat], -1)
         return jax.nn.softplus(mlpops.apply_mlp(params[f"{head}_rgbnet"], x))
 
@@ -171,11 +174,14 @@ class VoxurfF:
             style="fine",
         )
         rid = jnp.minimum(m.ray_id, m.n_rays - 1)
-        feat = self._features(params, m.pts, viewdirs[rid], m.sdf)
+        feat = self._features(params, m.pts, viewdirs[rid], m.sdf,
+                              n_valid=m.n_valid)
         on_mask = ((em_modes[rid] == 1) & ~m.pad)[:, None]
 
-        off = self._radiance(params, "off", m.pts, feat, sorted_pts=True)
-        emo = self._radiance(params, "emo", m.pts, feat, sorted_pts=True)
+        off = self._radiance(params, "off", m.pts, feat, sorted_pts=True,
+                             n_valid=m.n_valid)
+        emo = self._radiance(params, "emo", m.pts, feat, sorted_pts=True,
+                             n_valid=m.n_valid)
         lin_rgb = jnp.where(
             on_mask, emo + jax.lax.stop_gradient(off), off
         )
@@ -203,10 +209,13 @@ class VoxurfF:
             style="fine",
         )
         rid = jnp.minimum(m.ray_id, m.n_rays - 1)
-        feat = self._features(params, m.pts, viewdirs[rid], m.sdf)
+        feat = self._features(params, m.pts, viewdirs[rid], m.sdf,
+                              n_valid=m.n_valid)
 
-        lin_off = self._radiance(params, "off", m.pts, feat, sorted_pts=True)
-        lin_emo = self._radiance(params, "emo", m.pts, feat, sorted_pts=True)
+        lin_off = self._radiance(params, "off", m.pts, feat, sorted_pts=True,
+                                 n_valid=m.n_valid)
+        lin_emo = self._radiance(params, "emo", m.pts, feat, sorted_pts=True,
+                                 n_valid=m.n_valid)
         lin_on = lin_off + lin_emo
         off = self.apply_tonemapper(params, lin_off)
         emo = self.apply_tonemapper(params, lin_emo)

@@ -398,17 +398,19 @@ def _axis_perm(axis: int) -> Tuple[int, int, int]:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def displaced_taps(grid, pts, xyz_min, xyz_max, displace):
+def displaced_taps(grid, pts, xyz_min, xyz_max, displace, n_valid=None):
     """Border-mode trilinear taps at ``pts +- d * voxel`` along each axis.
 
     grid: [X,Y,Z,1]; pts: [M,3] world coords; displace: static tuple of D
     voxel displacements. Returns [M, 6, D] in the reference offset order
     (-z, +z, -y, +y, -x, +x) (``voxurf_base.sample_sdfeat_grad_normal``).
+    Rows >= ``n_valid`` (march pad tail) may return zeros (chunk skip).
 
     NOTE: not differentiable w.r.t. ``pts`` (cotangent is zero) — every call
     site passes ray-geometry points that carry no parameter gradient.
     """
-    vals, _ = _displaced_taps_fwd_impl(grid, pts, xyz_min, xyz_max, displace)
+    vals, _ = _displaced_taps_fwd_impl(grid, pts, xyz_min, xyz_max, displace,
+                                       n_valid)
     return vals
 
 
@@ -463,7 +465,8 @@ def _pack_axis_table(grid3, axis: int, W: int) -> Tuple[jnp.ndarray, int]:
     return tbl.reshape(-1, W), n_starts
 
 
-def _displaced_taps_fwd_impl(grid, pts, xyz_min, xyz_max, displace):
+def _displaced_taps_fwd_impl(grid, pts, xyz_min, xyz_max, displace,
+                             n_valid=None):
     X, Y, Z, C = grid.shape
     assert C == 1
     grid3 = grid[..., 0]
@@ -500,7 +503,7 @@ def _displaced_taps_fwd_impl(grid, pts, xyz_min, xyz_max, displace):
                          for db in (0, 1) for dc in (0, 1)
                          for jj in range(W))
             raw = splatops.sorted_corner_gather(
-                flat, base, None, offs, raw=True
+                flat, base, None, offs, raw=True, n_valid=n_valid
             ).reshape(-1, 4, W)
             win = jnp.einsum("mkw,mk->mw", raw, wcol4)  # [M, W]
         else:
@@ -521,23 +524,25 @@ def _displaced_taps_fwd_impl(grid, pts, xyz_min, xyz_max, displace):
     return vals, None
 
 
-def _displaced_taps_fwd(grid, pts, xyz_min, xyz_max, displace):
-    vals, _ = _displaced_taps_fwd_impl(grid, pts, xyz_min, xyz_max, displace)
-    return vals, (grid.shape, pts, xyz_min, xyz_max)
+def _displaced_taps_fwd(grid, pts, xyz_min, xyz_max, displace, n_valid=None):
+    vals, _ = _displaced_taps_fwd_impl(grid, pts, xyz_min, xyz_max, displace,
+                                       n_valid)
+    return vals, (grid.shape, pts, xyz_min, xyz_max, n_valid)
 
 
 def _displaced_taps_bwd(displace, res, ct):
     """ct: [M, 6, D] -> sorted-stream Pallas splat (ops.splat): per axis the
     window taps become 2 sorted corner streams x (corner x slot) channels,
     un-folded by a dense shear pass."""
-    grid_shape, pts, xyz_min, xyz_max = res
+    grid_shape, pts, xyz_min, xyz_max, n_valid = res
     from esrnerf_tpu.ops import splat as splatops
 
     dgrid = splatops.displaced_taps_splat(
-        grid_shape, pts, ct, xyz_min, xyz_max, displace
+        grid_shape, pts, ct, xyz_min, xyz_max, displace, n_valid=n_valid
     )
-    return dgrid, jnp.zeros_like(pts), jnp.zeros_like(xyz_min), \
-        jnp.zeros_like(xyz_max)
+    return (dgrid, jnp.zeros_like(pts), jnp.zeros_like(xyz_min),
+            jnp.zeros_like(xyz_max),
+            None if n_valid is None else jnp.zeros_like(n_valid))
 
 
 displaced_taps.defvjp(_displaced_taps_fwd, _displaced_taps_bwd)

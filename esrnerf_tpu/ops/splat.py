@@ -170,6 +170,7 @@ def sorted_streams_splat(
     n_cells: int,
     block_tiles: int = 128,
     interpret: bool = False,
+    n_valid=None,
 ) -> jnp.ndarray:
     """Dense scatter-add of S sorted update streams into a [n_cells, C] table.
 
@@ -177,18 +178,29 @@ def sorted_streams_splat(
     update k targets row ``base_sorted[k] + offsets[s]``; the caller must
     zero ``vals`` wherever that index falls outside [0, n_cells) (out-of-
     range rows are silently dropped). Returns [n_cells, C] float32.
+
+    ``n_valid`` (traced scalar or None): updates k >= n_valid are march
+    pad-tail rows whose values are zero by construction — they are dropped
+    from every block's range. Without this, the block holding the pads'
+    collapse cell serially sweeps the whole zero tail (hundreds of chunk
+    DMAs for nothing on typical budget-dominated marches).
     """
     S, C, M = vals.shape
     assert len(offsets) == S
 
     if jax.default_backend() != "tpu" and not interpret:
         out = jnp.zeros((n_cells, C), jnp.float32)
+        kmask = (
+            None if n_valid is None
+            else (jnp.arange(M) < n_valid)[None, :]
+        )
         for s in range(S):
             idx = base_sorted + offsets[s]
             ok = (idx >= 0) & (idx < n_cells)
-            out = out.at[jnp.clip(idx, 0, n_cells - 1)].add(
-                jnp.where(ok[None, :], vals[s], 0.0).T
-            )
+            v = jnp.where(ok[None, :], vals[s], 0.0)
+            if kmask is not None:
+                v = jnp.where(kmask, v, 0.0)
+            out = out.at[jnp.clip(idx, 0, n_cells - 1)].add(v.T)
         return out
 
     T = block_tiles
@@ -196,6 +208,16 @@ def sorted_streams_splat(
     nb = -(-n_cells // block)
     n_pad = nb * block
     c_pad = -(-C // 8) * 8  # sublane alignment for the HBM value slices
+
+    if n_valid is not None:
+        # move pad-tail updates to the sentinel cell: ascending order is
+        # preserved (they were the max-cell tail) and no block's
+        # searchsorted range ever includes them
+        nv = jnp.asarray(n_valid, jnp.int32)
+        base_sorted = jnp.where(
+            jnp.arange(M, dtype=jnp.int32) >= nv, _PAD_SENTINEL,
+            base_sorted.astype(jnp.int32),
+        )
 
     # pad streams so in-kernel DMA never reads past the end, and so the
     # sorted index array reshapes into [rows, 128]
@@ -265,55 +287,64 @@ def sorted_streams_splat(
 
 
 def sorted_scatter_1d(idx_sorted: jnp.ndarray, x: jnp.ndarray,
-                      size: int) -> jnp.ndarray:
+                      size: int, n_valid=None) -> jnp.ndarray:
     """Scatter ``x [M]`` to a zero [size] array at ascending (unique up to
     droppable duplicates) indices — the march's dense-bridge scatter,
-    through the splat kernel instead of XLA's table-sweep lowering."""
+    through the splat kernel instead of XLA's table-sweep lowering.
+    Rows >= ``n_valid`` must target droppable cells (the march's dump row);
+    they are skipped entirely."""
     if x.dtype == jnp.bool_:
-        out = _sorted_scatter_f32(idx_sorted, x.astype(jnp.float32), size)
+        out = _sorted_scatter_f32(idx_sorted, x.astype(jnp.float32), size,
+                                  n_valid)
         return out > 0.5
-    return _sorted_scatter_f32(idx_sorted, x.astype(jnp.float32), size
-                               ).astype(x.dtype)
+    return _sorted_scatter_f32(idx_sorted, x.astype(jnp.float32), size,
+                               n_valid).astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _sorted_scatter_f32(idx_sorted, x, size):
+def _sorted_scatter_f32(idx_sorted, x, size, n_valid=None):
     return sorted_streams_splat(
-        idx_sorted, x[None, None, :], (0,), size
+        idx_sorted, x[None, None, :], (0,), size, n_valid=n_valid
     )[:, 0]
 
 
-def _sorted_scatter_f32_fwd(idx_sorted, x, size):
-    return _sorted_scatter_f32(idx_sorted, x, size), idx_sorted
+def _sorted_scatter_f32_fwd(idx_sorted, x, size, n_valid=None):
+    return _sorted_scatter_f32(idx_sorted, x, size, n_valid), (idx_sorted,
+                                                               n_valid)
 
 
-def _sorted_scatter_f32_bwd(size, idx_sorted, ct):
+def _sorted_scatter_f32_bwd(size, res, ct):
     # unique indices => the adjoint is a plain gather
-    return jnp.zeros_like(idx_sorted), jnp.take(ct, idx_sorted)
+    idx_sorted, n_valid = res
+    return (jnp.zeros_like(idx_sorted), jnp.take(ct, idx_sorted),
+            None if n_valid is None else jnp.zeros_like(n_valid))
 
 
 _sorted_scatter_f32.defvjp(_sorted_scatter_f32_fwd, _sorted_scatter_f32_bwd)
 
 
 @jax.custom_vjp
-def sorted_gather_rows(table: jnp.ndarray, idx_sorted: jnp.ndarray
-                       ) -> jnp.ndarray:
+def sorted_gather_rows(table: jnp.ndarray, idx_sorted: jnp.ndarray,
+                       n_valid=None) -> jnp.ndarray:
     """``table[idx_sorted]`` row gather whose adjoint is the sorted splat
     kernel instead of XLA's scatter lowering. ``idx_sorted`` must be
-    ascending and in-range."""
+    ascending and in-range. Rows >= ``n_valid`` carry zero cotangents
+    (march pad tail) and are skipped in the adjoint."""
     return jnp.take(table, idx_sorted, axis=0)
 
 
-def _sorted_gather_rows_fwd(table, idx_sorted):
-    return jnp.take(table, idx_sorted, axis=0), (table.shape, idx_sorted)
+def _sorted_gather_rows_fwd(table, idx_sorted, n_valid=None):
+    return jnp.take(table, idx_sorted, axis=0), (table.shape, idx_sorted,
+                                                 n_valid)
 
 
 def _sorted_gather_rows_bwd(res, ct):
-    (R, C), idx_sorted = res
+    (R, C), idx_sorted, n_valid = res
     dtable = sorted_streams_splat(
-        idx_sorted, ct.T[None].astype(jnp.float32), (0,), R
+        idx_sorted, ct.T[None].astype(jnp.float32), (0,), R, n_valid=n_valid
     ).astype(ct.dtype)
-    return dtable, jnp.zeros_like(idx_sorted)
+    return (dtable, jnp.zeros_like(idx_sorted),
+            None if n_valid is None else jnp.zeros_like(n_valid))
 
 
 sorted_gather_rows.defvjp(_sorted_gather_rows_fwd, _sorted_gather_rows_bwd)
@@ -329,6 +360,13 @@ sorted_gather_rows.defvjp(_sorted_gather_rows_fwd, _sorted_gather_rows_bwd)
 
 _GCH = 2048          # points per chunk (= one grid step)
 _GCAP = 98304        # table rows resident per piece (covers YZ+Z+1 @ 256^3)
+# matmul precision for the one-hot gather. Mosaic only lowers DEFAULT and
+# HIGHEST in-kernel (HIGH raises NotImplementedError); HIGHEST keeps the
+# sampled values bit-exact. Env knob for microbenching the alternative.
+_GATHER_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}[__import__("os").environ.get("ESR_GATHER_PRECISION", "highest")]
 
 
 def _gather_kernel_body(C, R, M, offsets, raw, w0_ref, npc_ref, gf_ref,
@@ -405,13 +443,14 @@ def _gather_kernel_body(C, R, M, offsets, raw, w0_ref, npc_ref, gf_ref,
                             ((rel - t * _GROUP) == cell_sub) & v_rel,
                             1.0, 0.0,
                         )  # [cells_sub, pts_lane] f32 (exact 0/1)
-                        # default matmul precision is one bf16 pass,
-                        # which would quantize sampled values to ~0.4%
+                        # DEFAULT (one bf16 pass) would quantize sampled
+                        # values to ~0.4%; HIGHEST keeps them bit-exact
+                        # (Mosaic does not lower HIGH in-kernel)
                         v = jax.lax.dot_general(
                             pbuf[t], a1,
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
+                            precision=_GATHER_PRECISION,
                         )  # [C, pts_lane]
                         gs = g * _GROUP
                         if raw:  # each offset gets its own output channel
@@ -448,13 +487,22 @@ def sorted_corner_gather(
     offsets: Tuple[int, ...],
     raw: bool = False,
     interpret: bool = False,
+    n_valid=None,
 ) -> jnp.ndarray:
     """``out[m] = sum_d weights[m, d] * table[base_sorted[m] + offsets[d]]``
     (or, with ``raw=True`` and a [R, 1] table, the unweighted per-offset
     values ``out[m, d]``). ``base_sorted`` need not be strictly sorted —
     only *spatially local*: each 2048-point chunk's reads must span a
     bounded table window (per-chunk/group min/max bounds are computed
-    host-side). table: [R, C] f32; weights: [M, len(offsets)] or None."""
+    host-side). table: [R, C] f32; weights: [M, len(offsets)] or None.
+
+    ``n_valid`` (traced scalar or None): rows >= n_valid are pad slots
+    whose output may be anything finite — chunks made entirely of them get
+    their piece count clamped to 0 (output zeros, no table DMA, no
+    matmuls). March buffers are mostly pad on typical scenes (the static
+    budget covers worst-case rays), so this skip is worth ~the whole
+    kernel cost; the caller must guarantee every consumer masks pad rows.
+    """
     R, C = table.shape
     M = base_sorted.shape[0]
     D = len(offsets)
@@ -473,7 +521,13 @@ def sorted_corner_gather(
                 outs.append(vals[:, 0])
             else:
                 out = out + weights[:, d:d + 1] * vals
-        return jnp.stack(outs, -1) if raw else out
+        out = jnp.stack(outs, -1) if raw else out
+        if n_valid is not None:
+            # mirror the kernel's pad-chunk zeros (whole 2048-chunks past
+            # n_valid) so both backends agree bitwise
+            row_chunk = (jnp.arange(M) // _GCH) * _GCH
+            out = jnp.where(row_chunk[:, None] >= n_valid, 0.0, out)
+        return out
 
     m_pad = -(-M // _GCH) * _GCH
     nch = m_pad // _GCH
@@ -508,6 +562,9 @@ def sorted_corner_gather(
     npc = jnp.clip(
         -(-(cmax + span - w0) // _GCAP), 0, 1 + (R + span) // _GCAP
     ).astype(jnp.int32)
+    if n_valid is not None:
+        chunk_start = jnp.arange(nch, dtype=jnp.int32) * _GCH
+        npc = jnp.where(chunk_start >= n_valid, 0, npc)
 
     c_out = D if raw else C
     kernel = functools.partial(
@@ -563,16 +620,20 @@ permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def sorted_trilinear_sample(grid, pts_sorted, xyz_min, xyz_max):
+def sorted_trilinear_sample(grid, pts_sorted, xyz_min, xyz_max,
+                            n_valid=None):
     """Zeros-mode trilinear sample at points pre-sorted by base cell
     (ascending): the forward runs the chunk-major gather kernel, the
     backward the sorted splat with the sort skipped. The production path
     for the wide color/BRDF grids, whose march points arrive cell-sorted
-    from the phase-2 compaction."""
-    return _sorted_trilinear_sample_impl(grid, pts_sorted, xyz_min, xyz_max)
+    from the phase-2 compaction. Rows >= ``n_valid`` (the march's pad
+    tail) return zeros via the chunk skip."""
+    return _sorted_trilinear_sample_impl(grid, pts_sorted, xyz_min, xyz_max,
+                                         n_valid)
 
 
-def _sorted_trilinear_sample_impl(grid, pts_sorted, xyz_min, xyz_max):
+def _sorted_trilinear_sample_impl(grid, pts_sorted, xyz_min, xyz_max,
+                                  n_valid=None):
     from esrnerf_tpu.ops.grid import normalized_index
 
     X, Y, Z, C = grid.shape
@@ -598,21 +659,26 @@ def _sorted_trilinear_sample_impl(grid, pts_sorted, xyz_min, xyz_max):
     # contract: pts inside the bbox (march points are) => base >= 0;
     # corner reads past the last cell land in the kernel's zero padding
     # and carry zero weight anyway
-    return sorted_corner_gather(grid.reshape(-1, C), base, wts, offs)
+    return sorted_corner_gather(grid.reshape(-1, C), base, wts, offs,
+                                n_valid=n_valid)
 
 
-def _sorted_trilinear_sample_fwd(grid, pts_sorted, xyz_min, xyz_max):
-    out = _sorted_trilinear_sample_impl(grid, pts_sorted, xyz_min, xyz_max)
-    return out, (grid.shape, pts_sorted, xyz_min, xyz_max)
+def _sorted_trilinear_sample_fwd(grid, pts_sorted, xyz_min, xyz_max,
+                                 n_valid=None):
+    out = _sorted_trilinear_sample_impl(grid, pts_sorted, xyz_min, xyz_max,
+                                        n_valid)
+    return out, (grid.shape, pts_sorted, xyz_min, xyz_max, n_valid)
 
 
 def _sorted_trilinear_sample_bwd(res, ct):
-    grid_shape, pts, xyz_min, xyz_max = res
+    grid_shape, pts, xyz_min, xyz_max, n_valid = res
     dgrid = trilinear_splat(
-        grid_shape, pts, ct, xyz_min, xyz_max, assume_sorted=True
+        grid_shape, pts, ct, xyz_min, xyz_max, assume_sorted=True,
+        n_valid=n_valid,
     )
     return (dgrid, jnp.zeros_like(pts), jnp.zeros_like(xyz_min),
-            jnp.zeros_like(xyz_max))
+            jnp.zeros_like(xyz_max),
+            None if n_valid is None else jnp.zeros_like(n_valid))
 
 
 sorted_trilinear_sample.defvjp(
@@ -627,6 +693,7 @@ def displaced_taps_splat(
     xyz_min: jnp.ndarray,
     xyz_max: jnp.ndarray,
     displace: Tuple[float, ...],
+    n_valid=None,
 ) -> jnp.ndarray:
     """Adjoint of :func:`esrnerf_tpu.ops.grid.displaced_taps`: splat the
     [M, 6, D] tap cotangents into a zero [X,Y,Z,1] grid.
@@ -655,6 +722,16 @@ def displaced_taps_splat(
         slot = jnp.einsum("msd,msdw->mw", ct_a, wj)  # [M, W]
 
         base = g["i0b"] * sb + g["i0c"] * sc + g["w0"] * sa
+        if n_valid is not None:
+            # rows >= n_valid are march pad slots (zero cotangents): key
+            # them to the sentinel so they sort last and fall outside every
+            # block's update range — by ROW index, so eps-perturbed pad
+            # points are still excluded
+            base = jnp.where(
+                jnp.arange(base.shape[0], dtype=jnp.int32)
+                >= jnp.asarray(n_valid, jnp.int32),
+                _PAD_SENTINEL, base,
+            )
         base_s, order = jax.lax.sort_key_val(
             base, jnp.arange(base.shape[0], dtype=jnp.int32)
         )
@@ -725,6 +802,7 @@ def trilinear_splat(
     xyz_max: jnp.ndarray,
     fold: Optional[int] = None,
     assume_sorted: bool = False,
+    n_valid=None,
 ) -> jnp.ndarray:
     """Adjoint of zeros-mode trilinear sampling: splat per-point cotangents
     ``ct [M, C]`` at ``pts [M, 3]`` into a zero grid of ``grid_shape``
@@ -785,8 +863,11 @@ def trilinear_splat(
     pad = max(shifts) + 2
 
     vals = vals_s.reshape(-1, S, fold * C).transpose(1, 2, 0)  # [S, fC, M]
+    # n_valid only survives the skipped sort when the updates keep their
+    # row order (assume_sorted); a key sort would scatter the pad tail
     out2 = sorted_streams_splat(
-        base_s + pad, vals, stream_offs, n_cells + 2 * pad
+        base_s + pad, vals, stream_offs, n_cells + 2 * pad,
+        n_valid=n_valid if assume_sorted else None,
     )
     flat = shear_combine(out2, shifts, n_cells, C, pad)
     return flat.reshape(X, Y, Z, C)
