@@ -419,59 +419,63 @@ def _gather_kernel_body(C, R, M, offsets, raw, w0_ref, npc_ref, gf_ref,
             row = idx_buf[g:g + 1, :]              # [1, GROUP] lanes
 
             for d, off in enumerate(offsets):
-                # skip offsets whose reads don't intersect this piece
-                # (wide-offset multi-piece chunks, e.g. x-axis tap windows)
-                @pl.when((gl + off >= pstart)
-                         & (gf + off < pstart + _GCAP))
-                def _(g=g, d=d, off=off, gf=gf, gl=gl, row=row,
-                      valid=valid, pstart=pstart):
-                    t0 = jnp.clip(
-                        (gf + off - pstart) // _GROUP, 0, ncap_t - 1
-                    )
-                    t1 = jnp.minimum(
-                        (gl + off - pstart) // _GROUP, ncap_t - 1
-                    )
-                    rel = row + (off - pstart)     # [1, GROUP]
-                    # only rows whose read lands in this piece (others are
-                    # handled when their piece is resident)
-                    v_rel = valid & (rel >= 0) & (rel < _GCAP)
-                    wrow = None if raw else w_buf[d:d + 1, g, :]  # [1,128]
+                # NO pl.when guard per offset: a taken branch costs ~1us
+                # while an idle self-masked matmul costs ~0.2us (playbook
+                # rule 4) — at 16 groups x |offsets| per piece the branches
+                # alone dominated the kernel (~60% of a 24-offset call).
+                # The one-hot masks (v_rel) make out-of-piece reads zeros.
+                t0 = jnp.clip(
+                    (gf + off - pstart) // _GROUP, 0, ncap_t - 1
+                )
+                t1 = jnp.minimum(
+                    (gl + off - pstart) // _GROUP, ncap_t - 1
+                )
+                rel = row + (off - pstart)     # [1, GROUP]
+                # only rows whose read lands in this piece (others are
+                # handled when their piece is resident)
+                v_rel = valid & (rel >= 0) & (rel < _GCAP)
+                wrow = None if raw else w_buf[d:d + 1, g, :]  # [1,128]
 
-                    def tile_body(t, _, rel=rel, v_rel=v_rel, wrow=wrow,
-                                  g=g, d=d):
-                        a1 = jnp.where(
-                            ((rel - t * _GROUP) == cell_sub) & v_rel,
-                            1.0, 0.0,
-                        )  # [cells_sub, pts_lane] f32 (exact 0/1)
-                        # DEFAULT (one bf16 pass) would quantize sampled
-                        # values to ~0.4%; HIGHEST keeps them bit-exact
-                        # (Mosaic does not lower HIGH in-kernel)
-                        v = jax.lax.dot_general(
-                            pbuf[t], a1,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=_GATHER_PRECISION,
-                        )  # [C, pts_lane]
+                def tile_v(t, rel=rel, v_rel=v_rel):
+                    a1 = jnp.where(
+                        ((rel - t * _GROUP) == cell_sub) & v_rel,
+                        1.0, 0.0,
+                    )  # [cells_sub, pts_lane] f32 (exact 0/1)
+                    # DEFAULT (one bf16 pass) would quantize sampled
+                    # values to ~0.4%; HIGHEST keeps them bit-exact
+                    # (Mosaic does not lower HIGH in-kernel)
+                    return jax.lax.dot_general(
+                        pbuf[t], a1,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_GATHER_PRECISION,
+                    )  # [C, pts_lane]
+
+                # common case: the whole span fits in 2 tiles; accumulate
+                # in registers, single RMW into out_ref
+                v = tile_v(t0) + tile_v(t0 + 1)  # t0+1 may hit the pad tile
+                gs = g * _GROUP
+                if raw:  # each offset gets its own output channel
+                    cur = out_ref[0, d:d + 1, pl.ds(gs, _GROUP)]
+                    out_ref[0, d:d + 1, pl.ds(gs, _GROUP)] = cur + v
+                else:
+                    cur = out_ref[0, :, pl.ds(gs, _GROUP)]
+                    out_ref[0, :, pl.ds(gs, _GROUP)] = cur + wrow * v
+
+                @pl.when(t1 > t0 + 1)
+                def _(t0=t0, t1=t1, g=g, d=d, wrow=wrow, tile_v=tile_v):
+                    def body(t, _):
+                        v = tile_v(t)
                         gs = g * _GROUP
-                        if raw:  # each offset gets its own output channel
+                        if raw:
                             cur = out_ref[0, d:d + 1, pl.ds(gs, _GROUP)]
                             out_ref[0, d:d + 1, pl.ds(gs, _GROUP)] = cur + v
                         else:
                             cur = out_ref[0, :, pl.ds(gs, _GROUP)]
-                            out_ref[0, :, pl.ds(gs, _GROUP)] = (
-                                cur + wrow * v
-                            )
+                            out_ref[0, :, pl.ds(gs, _GROUP)] = cur + wrow * v
                         return 0
 
-                    tile_body(t0, 0)
-                    tile_body(t0 + 1, 0)  # may read the zeroed pad tile
-
-                    @pl.when(t1 > t0 + 1)
-                    def _():
-                        jax.lax.fori_loop(
-                            t0 + 2, t1 + 1,
-                            lambda t, cc: tile_body(t, cc), 0,
-                        )
+                    jax.lax.fori_loop(t0 + 2, t1 + 1, body, 0)
         return 0
 
     jax.lax.fori_loop(0, npc, piece_body, 0)
@@ -810,17 +814,28 @@ def trilinear_splat(
 
     ``fold`` of the 8 corners ride as kernel channels (fewer, cheaper
     streams; bigger [n_cells, fold*C] shear table). Default: all 8 for
-    small C, 4 for wide color grids (keeps the transient table < ~2 GB).
+    small C, 4 for wide color grids — then halved until the transient
+    [n_cells, cpad(fold*C)] table fits ``ESR_SPLAT_TABLE_CAP`` bytes
+    (default 700 MB). At 256^3 a C=6 color grid with fold=4 makes a
+    1.5 GB table; several such backward splats scheduled concurrently
+    OOM'd the 16 GB chip on the LTS step. fold=1 means every corner is
+    its own stream (C channels, no shear pass).
     ``assume_sorted`` skips the cell sort (march phase-2 points arrive
     pre-sorted).
     """
+    import os
+
     from esrnerf_tpu.ops.grid import normalized_index
 
     X, Y, Z, C = grid_shape
     n_cells = X * Y * Z
     if fold is None:
         fold = 8 if C <= 2 else 4
-    assert fold in (2, 4, 8)
+        cap = int(os.environ.get("ESR_SPLAT_TABLE_CAP", 700 * 2**20))
+        cpad = lambda c: -(-c // 8) * 8
+        while fold > 1 and n_cells * cpad(fold * C) * 4 > cap:
+            fold //= 2
+    assert fold in (1, 2, 4, 8)
 
     idx = normalized_index(pts, xyz_min, xyz_max, (X, Y, Z))
     i0 = jnp.floor(idx).astype(jnp.int32)

@@ -52,6 +52,38 @@ def test_splat_kernel_interpret():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-4, atol=5e-5)
 
 
+def test_splat_kernel_interpret_8_streams():
+    """fold=1 shape: 8 single-corner streams, C channels, no shear —
+    the big-grid memory mode (ESR_SPLAT_TABLE_CAP) of trilinear_splat."""
+    rng = np.random.default_rng(7)
+    n_cells = 40 * 128 + 5
+    base = np.sort(rng.integers(0, n_cells - 600, 2500)).astype(np.int32)
+    vals = rng.standard_normal((8, 6, 2500)).astype(np.float32)
+    offsets = (0, 1, 17, 18, 550, 551, 567, 568)
+    out = splatops.sorted_streams_splat(
+        jnp.asarray(base), jnp.asarray(vals), offsets, n_cells,
+        block_tiles=16, interpret=True,
+    )
+    ref = splatops.splat_oracle(base, vals, offsets, n_cells)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("fold", [1, 2, 4])
+def test_trilinear_splat_fold_parity(fold):
+    """Every fold (incl. the fold=1 big-grid memory mode) matches fold=8."""
+    rng = np.random.default_rng(11)
+    shape = (12, 10, 9, 6)
+    pts = (rng.uniform(-1, 1, (500, 3)).astype(np.float32) * 1.2)
+    ct = rng.standard_normal((500, 6)).astype(np.float32)
+    mn, mx = jnp.asarray([-1.0, -1, -1]), jnp.asarray([1.0, 1, 1])
+    ref = splatops.trilinear_splat(shape, jnp.asarray(pts), jnp.asarray(ct),
+                                   mn, mx, fold=8)
+    out = splatops.trilinear_splat(shape, jnp.asarray(pts), jnp.asarray(ct),
+                                   mn, mx, fold=fold)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_trilinear_splat_is_grid_sample_adjoint():
     rng = np.random.default_rng(2)
     shape = (9, 8, 7, 3)
