@@ -338,9 +338,20 @@ class VoxurfGeometry:
             w1_d, alphainv_last = scanops.alpha2weights_pallas(
                 a1_d, renderops.EARLY_EXIT_T
             )
-            keep_d = w1_d > fastcolor_thres
-            alpha2_d = jnp.where(keep_d, a1_d, 0.0)
-            w_d = jnp.where(keep_d, w1_d, 0.0)  # no re-scan
+            # flatten the dense scan products back to the compacted list:
+            # keep / alpha2 / weights all derive from (a1, w1), so gather
+            # only those two back (the keep flag and the threshold masks
+            # are recomputed flat) — the 3-wide stacked gather this
+            # replaces got a transposed {0,1} layout from XLA and cost
+            # 286 ms/step on the LTS secondary march
+            dense2 = jnp.stack([a1_d, w1_d], -1).reshape(-1, 2)
+            dense2 = jnp.concatenate(
+                [dense2, jnp.zeros((S, 2), dense2.dtype)]
+            )
+            flat2 = splatops.sorted_gather_rows(dense2, lin, n_valid=nv1)
+            keep = (flat2[:, 1] > fastcolor_thres) & ~pad1
+            alpha2 = jnp.where(keep, flat2[:, 0], 0.0)
+            weights = jnp.where(keep, flat2[:, 1], 0.0)
         else:
             w1_d, _ = scanops.alpha2weights_pallas(
                 alpha_d, renderops.EARLY_EXIT_T
@@ -350,20 +361,17 @@ class VoxurfGeometry:
             w_d, alphainv_last = scanops.alpha2weights_pallas(
                 alpha2_d, renderops.EARLY_EXIT_T
             )
-
-        # flatten the dense scan products back to the compacted list with
-        # ONE wide row gather (row-count-bound on TPU; 3 scalar gathers
-        # would cost 3x) whose adjoint is the sorted splat kernel
-        dense3 = jnp.stack(
-            [keep_d.astype(jnp.float32), alpha2_d, w_d], -1
-        ).reshape(-1, 3)
-        dense3 = jnp.concatenate(
-            [dense3, jnp.zeros((S, 3), dense3.dtype)]
-        )
-        flat3 = splatops.sorted_gather_rows(dense3, lin, n_valid=nv1)  # [K1, 3]
-        keep = (flat3[:, 0] > 0.5) & ~pad1
-        alpha2 = flat3[:, 1]
-        weights = flat3[:, 2]
+            # coarse re-scans, so w must come back from the dense layout;
+            # keep still derives from w1 (one channel saved vs stacking a
+            # separate keep flag)
+            dense3 = jnp.stack([alpha_d, w1_d, w_d], -1).reshape(-1, 3)
+            dense3 = jnp.concatenate(
+                [dense3, jnp.zeros((S, 3), dense3.dtype)]
+            )
+            flat3 = splatops.sorted_gather_rows(dense3, lin, n_valid=nv1)
+            keep = (flat3[:, 1] > fastcolor_thres) & ~pad1
+            alpha2 = jnp.where(keep, flat3[:, 0], 0.0)
+            weights = flat3[:, 2]
 
         # ---- phase-2 compaction to the static K2 head budget
         n2 = keep.sum()

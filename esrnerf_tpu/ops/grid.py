@@ -503,7 +503,8 @@ def _displaced_taps_fwd_impl(grid, pts, xyz_min, xyz_max, displace,
                          for db in (0, 1) for dc in (0, 1)
                          for jj in range(W))
             raw = splatops.sorted_corner_gather(
-                flat, base, None, offs, raw=True, n_valid=n_valid
+                flat, base, None, offs, raw=True, n_valid=n_valid,
+                family=(sa, W),
             ).reshape(-1, 4, W)
             win = jnp.einsum("mkw,mk->mw", raw, wcol4)  # [M, W]
         else:

@@ -360,6 +360,12 @@ sorted_gather_rows.defvjp(_sorted_gather_rows_fwd, _sorted_gather_rows_bwd)
 
 _GCH = 2048          # points per chunk (= one grid step)
 _GCAP = 98304        # table rows resident per piece (covers YZ+Z+1 @ 256^3)
+# Below this many points the plain XLA row gather wins outright: the kernel's
+# cost scales with the chunk's table span (a *scattered* 2048-point set — the
+# LTS surface points — spans the whole 16.7M-row grid: ~170 piece sweeps,
+# ~326 ms measured) while XLA gathers are row-count-bound at ~90-250M rows/s
+# (<1 ms for 2048x24 rows). Crossover is ~100K rows; stay well under it.
+_GATHER_XLA_M = 16384
 # matmul precision for the one-hot gather. Mosaic only lowers DEFAULT and
 # HIGHEST in-kernel (HIGH raises NotImplementedError); HIGHEST keeps the
 # sampled values bit-exact. Env knob for microbenching the alternative.
@@ -369,13 +375,27 @@ _GATHER_PRECISION = {
 }[__import__("os").environ.get("ESR_GATHER_PRECISION", "highest")]
 
 
-def _gather_kernel_body(C, R, M, offsets, raw, w0_ref, npc_ref, gf_ref,
-                        gl_ref, idx_hbm, w_hbm, tbl_hbm, out_ref, idx_buf,
-                        w_buf, pbuf, sems):
+def _gather_kernel_body(C, R, M, offsets, raw, family, w0_ref, npc_ref,
+                        gf_ref, gl_ref, idx_hbm, w_hbm, tbl_hbm, out_ref,
+                        idx_buf, w_buf, pbuf, sems):
     # lane-major throughout: points and cells ride the 128-lane dim, so no
-    # in-kernel transposes and all HBM minor dims are large/aligned
+    # in-kernel transposes and all HBM minor dims are large/aligned.
+    #
+    # Offsets are processed in FAMILIES of W stride-``sa`` consecutive slots
+    # (family=(sa, W); W=1 degenerates to one-offset families). A family's
+    # W reads share one one-hot built from the BASE slot and ride a single
+    # [W*C, 256] x [256, 128] matmul whose LHS rows are lane-rolled views of
+    # the piece buffer — the measured cost law is ~1.4-1.6 ms per piece
+    # REGARDLESS of table bytes, i.e. pure per-matmul-issue overhead
+    # (16 groups x D offsets x 2 tiles = 768 issues/piece at D=24), so
+    # fewer, wider issues are the whole game: 768 -> 64 for the tap calls.
+    sa, W = family
+    K = len(offsets) // W
     c = pl.program_id(0)
     ncap_t = _GCAP // _GROUP
+    # extra tiles DMA'd past the piece so every slot of a family anchored in
+    # this piece reads resident data (slot w reads base + w*sa)
+    ext_t = ((W - 1) * sa) // _GROUP + 2
     out_ref[...] = jnp.zeros_like(out_ref)
 
     cp_idx = pltpu.make_async_copy(
@@ -392,21 +412,18 @@ def _gather_kernel_body(C, R, M, offsets, raw, w0_ref, npc_ref, gf_ref,
 
     base0 = w0_ref[c]
     npc = npc_ref[c]
-    cell_sub = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _GROUP), 0)
+    cell_sub = jax.lax.broadcasted_iota(jnp.int32, (2 * _GROUP, _GROUP), 0)
     pos_lane = jax.lax.broadcasted_iota(jnp.int32, (1, _GROUP), 1)
 
     cp_idx.wait()
     if not raw:
         cp_w.wait()
-    # the matmul may read one tile past the piece (unclamped second tile);
-    # keep that pad tile zero so stray garbage can't turn into NaN
-    pbuf[ncap_t] = jnp.zeros_like(pbuf[ncap_t])
 
     def piece_body(p, _):
         pstart = base0 + p * _GCAP
         cp_t = pltpu.make_async_copy(
-            tbl_hbm.at[pl.ds(pstart // _GROUP, ncap_t), :, :],
-            pbuf.at[:ncap_t], sems.at[2],
+            tbl_hbm.at[pl.ds(pstart // _GROUP, ncap_t + ext_t), :, :],
+            pbuf, sems.at[2],
         )
         cp_t.start()
         cp_t.wait()
@@ -418,71 +435,87 @@ def _gather_kernel_body(C, R, M, offsets, raw, w0_ref, npc_ref, gf_ref,
             valid = (pos_lane + gpos) < M          # [1, GROUP] lanes
             row = idx_buf[g:g + 1, :]              # [1, GROUP] lanes
 
-            for d, off in enumerate(offsets):
-                # NO pl.when guard per offset: a taken branch costs ~1us
+            for k in range(K):
+                ck = offsets[k * W]
+                # NO pl.when guard per family: a taken branch costs ~1us
                 # while an idle self-masked matmul costs ~0.2us (playbook
-                # rule 4) — at 16 groups x |offsets| per piece the branches
-                # alone dominated the kernel (~60% of a 24-offset call).
-                # The one-hot masks (v_rel) make out-of-piece reads zeros.
+                # rule 4). The one-hot (v_rel) self-masks out-of-piece
+                # reads; a family is processed in the one piece holding
+                # its BASE slot, the other slots read the ext_t extension.
                 t0 = jnp.clip(
-                    (gf + off - pstart) // _GROUP, 0, ncap_t - 1
+                    (gf + ck - pstart) // _GROUP, 0, ncap_t - 1
                 )
                 t1 = jnp.minimum(
-                    (gl + off - pstart) // _GROUP, ncap_t - 1
+                    (gl + ck - pstart) // _GROUP, ncap_t - 1
                 )
-                rel = row + (off - pstart)     # [1, GROUP]
-                # only rows whose read lands in this piece (others are
-                # handled when their piece is resident)
+                rel = row + (ck - pstart)      # [1, GROUP] base-slot cell
                 v_rel = valid & (rel >= 0) & (rel < _GCAP)
-                wrow = None if raw else w_buf[d:d + 1, g, :]  # [1,128]
 
-                def tile_v(t, rel=rel, v_rel=v_rel):
+                def fam_v(t, rel=rel, v_rel=v_rel):
+                    # one-hot over a 2-tile (256-cell) window anchored at t
                     a1 = jnp.where(
                         ((rel - t * _GROUP) == cell_sub) & v_rel,
                         1.0, 0.0,
-                    )  # [cells_sub, pts_lane] f32 (exact 0/1)
+                    )  # [256 cells_sub, pts_lane] f32 (exact 0/1)
+                    rows = []
+                    for w in range(W):
+                        q = w * sa
+                        tw, ph = q // _GROUP, q % _GROUP
+                        r3 = jnp.concatenate(
+                            [pbuf[t + tw], pbuf[t + tw + 1],
+                             pbuf[t + tw + 2]], axis=-1,
+                        )  # [C, 384]
+                        if ph:
+                            # y[i] = x[i + ph]: slot w's cells sit ph lanes
+                            # past the base slot's within its tile pair
+                            r3 = pltpu.roll(r3, (-ph) % (3 * _GROUP),
+                                            axis=1)
+                        rows.append(r3[:, : 2 * _GROUP])
+                    lhs = (rows[0] if W == 1
+                           else jnp.concatenate(rows, axis=0))  # [W*C, 256]
                     # DEFAULT (one bf16 pass) would quantize sampled
                     # values to ~0.4%; HIGHEST keeps them bit-exact
                     # (Mosaic does not lower HIGH in-kernel)
                     return jax.lax.dot_general(
-                        pbuf[t], a1,
+                        lhs, a1,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=_GATHER_PRECISION,
-                    )  # [C, pts_lane]
+                    )  # [W*C, pts_lane]
 
-                # common case: the whole span fits in 2 tiles; accumulate
-                # in registers, single RMW into out_ref
-                v = tile_v(t0) + tile_v(t0 + 1)  # t0+1 may hit the pad tile
                 gs = g * _GROUP
-                if raw:  # each offset gets its own output channel
-                    cur = out_ref[0, d:d + 1, pl.ds(gs, _GROUP)]
-                    out_ref[0, d:d + 1, pl.ds(gs, _GROUP)] = cur + v
-                else:
-                    cur = out_ref[0, :, pl.ds(gs, _GROUP)]
-                    out_ref[0, :, pl.ds(gs, _GROUP)] = cur + wrow * v
+
+                def accum(v, g=g, k=k):
+                    if raw:  # each slot gets its own output channel
+                        cur = out_ref[0, k * W:(k + 1) * W, pl.ds(gs, _GROUP)]
+                        out_ref[0, k * W:(k + 1) * W,
+                                pl.ds(gs, _GROUP)] = cur + v
+                    else:    # weighted sum of slots into the C channels
+                        acc = w_buf[k * W:k * W + 1, g, :] * v[:C]
+                        for w in range(1, W):
+                            acc = acc + (w_buf[k * W + w:k * W + w + 1, g, :]
+                                         * v[w * C:(w + 1) * C])
+                        cur = out_ref[0, :, pl.ds(gs, _GROUP)]
+                        out_ref[0, :, pl.ds(gs, _GROUP)] = cur + acc
+
+                # common case: the group's base span fits the 2-tile window
+                accum(fam_v(t0))
 
                 @pl.when(t1 > t0 + 1)
-                def _(t0=t0, t1=t1, g=g, d=d, wrow=wrow, tile_v=tile_v):
-                    def body(t, _):
-                        v = tile_v(t)
-                        gs = g * _GROUP
-                        if raw:
-                            cur = out_ref[0, d:d + 1, pl.ds(gs, _GROUP)]
-                            out_ref[0, d:d + 1, pl.ds(gs, _GROUP)] = cur + v
-                        else:
-                            cur = out_ref[0, :, pl.ds(gs, _GROUP)]
-                            out_ref[0, :, pl.ds(gs, _GROUP)] = cur + wrow * v
+                def _(t0=t0, t1=t1, fam_v=fam_v, accum=accum):
+                    def body(i, _):
+                        accum(fam_v(t0 + 2 + 2 * i))
                         return 0
 
-                    jax.lax.fori_loop(t0 + 2, t1 + 1, body, 0)
+                    # 2-tile steps cover (t0+1, t1]
+                    jax.lax.fori_loop(0, (t1 - t0) // 2, body, 0)
         return 0
 
     jax.lax.fori_loop(0, npc, piece_body, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "raw", "interpret")
+    jax.jit, static_argnames=("offsets", "raw", "interpret", "family")
 )
 def sorted_corner_gather(
     table: jnp.ndarray,
@@ -492,6 +525,7 @@ def sorted_corner_gather(
     raw: bool = False,
     interpret: bool = False,
     n_valid=None,
+    family: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """``out[m] = sum_d weights[m, d] * table[base_sorted[m] + offsets[d]]``
     (or, with ``raw=True`` and a [R, 1] table, the unweighted per-offset
@@ -512,8 +546,17 @@ def sorted_corner_gather(
     D = len(offsets)
     if raw:
         assert C == 1 and weights is None
+    if family is None:
+        family = (1, 1)
+    sa, W = family
+    assert W >= 1 and sa >= 1 and D % W == 0, (sa, W, D)
+    for k in range(D // W):
+        for w in range(W):
+            assert offsets[k * W + w] == offsets[k * W] + w * sa, \
+                ("family structure violated", offsets, family)
 
-    if (jax.default_backend() != "tpu" and not interpret):
+    if not interpret and (jax.default_backend() != "tpu"
+                          or M <= _GATHER_XLA_M):
         outs = []
         out = jnp.zeros((M, C), jnp.float32)
         for d in range(D):
@@ -546,12 +589,14 @@ def sorted_corner_gather(
         w_p = jnp.pad(
             weights.astype(jnp.float32).T, ((0, 0), (0, m_pad - M))
         ).reshape(D, m_pad // _GROUP, _GROUP)  # [D, rows, 128] lane-major
-    # the last piece's DMA reads [pstart, pstart + _GCAP) where pstart can
-    # reach cmax + span - 1 (npc = ceil((cmax + span - w0)/_GCAP)), so the
-    # table must be padded past R by span + _GCAP — padding by _GCAP alone
-    # leaves up to ~span rows of out-of-bounds HBM read
+    # the last piece's DMA reads [pstart, pstart + _GCAP + ext) where pstart
+    # can reach cmax + span - 1 (npc = ceil((cmax + span - w0)/_GCAP)) and
+    # ext covers the family-slot extension, so the table must be padded past
+    # R by span + _GCAP + ext — anything less leaves out-of-bounds HBM reads
     span = max(offsets) + 2
-    r_pad = (-(-(R + span + _GCAP + _GROUP) // _GROUP)) * _GROUP
+    ext_t = ((W - 1) * sa) // _GROUP + 2
+    r_pad = (-(-(R + span + _GCAP + (ext_t + 1) * _GROUP) // _GROUP)) \
+        * _GROUP
     tbl_p = jnp.pad(table, ((0, r_pad - R), (0, 0))).reshape(
         r_pad // _GROUP, _GROUP, C
     ).transpose(0, 2, 1)  # [tiles, C, 128]: dynamic indexing on dim 0
@@ -572,7 +617,8 @@ def sorted_corner_gather(
 
     c_out = D if raw else C
     kernel = functools.partial(
-        _gather_kernel_body, C, R, M, tuple(int(o) for o in offsets), raw
+        _gather_kernel_body, C, R, M, tuple(int(o) for o in offsets), raw,
+        (sa, W),
     )
     out = pl.pallas_call(
         kernel,
@@ -591,7 +637,8 @@ def sorted_corner_gather(
                 pltpu.VMEM((_GCH // _GROUP, _GROUP), jnp.int32),
                 pltpu.VMEM((max(1, D if not raw else 1),
                             _GCH // _GROUP, _GROUP), jnp.float32),
-                pltpu.VMEM((_GCAP // _GROUP + 1, C, _GROUP), jnp.float32),
+                pltpu.VMEM((_GCAP // _GROUP + ext_t, C, _GROUP),
+                           jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
         ),
@@ -662,9 +709,10 @@ def _sorted_trilinear_sample_impl(grid, pts_sorted, xyz_min, xyz_max,
                  for d in range(8))
     # contract: pts inside the bbox (march points are) => base >= 0;
     # corner reads past the last cell land in the kernel's zero padding
-    # and carry zero weight anyway
+    # and carry zero weight anyway. The 8 corners form 4 z-pair families
+    # (stride 1): one batched matmul per pair instead of two
     return sorted_corner_gather(grid.reshape(-1, C), base, wts, offs,
-                                n_valid=n_valid)
+                                n_valid=n_valid, family=(1, 2))
 
 
 def _sorted_trilinear_sample_fwd(grid, pts_sorted, xyz_min, xyz_max,

@@ -165,3 +165,58 @@ def test_sorted_gather_raw_and_unsorted_locality():
     )
     want = np.stack([table[base + o, 0] for o in offsets], -1)
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("sa,W,C,weighted", [
+    (1, 2, 6, True),      # trilinear z-pair families (production col path)
+    (1, 6, 1, False),     # z-axis tap window
+    (130, 6, 1, False),   # y-axis-like stride: crosses tiles, phase = w*2
+    (66049, 6, 1, False), # x-axis-like stride: multi-piece extension
+])
+def test_sorted_gather_family_matches_flat(sa, W, C, weighted):
+    """family=(sa, W) batched matmuls == per-offset oracle, incl. strides
+    larger than a tile and larger than a piece (ext_t DMA extension)."""
+    rng = np.random.default_rng(11)
+    R = 400000
+    M = 4096  # 2 chunks (kernel path forced via interpret=True)
+    K = 4
+    corners = rng.integers(0, 900, size=K)
+    offsets = tuple(int(c) + w * sa for c in corners for w in range(W))
+    hi = R - max(offsets) - 2
+    # locally-sorted base with a wide-span group thrown in
+    base = np.sort(rng.integers(0, hi, size=M)).astype(np.int32)
+    base[111] = 0  # widen one group's span past 2 tiles
+    base.sort()
+    table = rng.standard_normal((R, C)).astype(np.float32)
+    w = (rng.standard_normal((M, K * W)).astype(np.float32)
+         if weighted else None)
+    out = splatops.sorted_corner_gather(
+        jnp.asarray(table), jnp.asarray(base),
+        None if w is None else jnp.asarray(w),
+        offsets, raw=not weighted, interpret=True, family=(sa, W),
+    )
+    if weighted:
+        want = sum(w[:, d:d + 1] * table[base + offsets[d]]
+                   for d in range(K * W))
+    else:
+        want = np.stack([table[base + o, 0] for o in offsets], -1)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=5e-4, atol=5e-4)
+
+
+def test_sorted_gather_family_n_valid_chunk_skip():
+    rng = np.random.default_rng(12)
+    R, M, W, sa = 300000, 6144, 6, 130
+    corners = (0, 257, 66049, 66306)
+    offsets = tuple(c + w * sa for c in corners for w in range(W))
+    base = np.sort(rng.integers(0, R - max(offsets) - 2, size=M))
+    base = base.astype(np.int32)
+    table = rng.standard_normal((R, 1)).astype(np.float32)
+    n_valid = jnp.int32(2048 + 7)  # chunk 0 full, chunk 1 partial, 2 pad
+    out = splatops.sorted_corner_gather(
+        jnp.asarray(table), jnp.asarray(base), None, offsets,
+        raw=True, interpret=True, family=(sa, W), n_valid=n_valid,
+    )
+    want = np.stack([table[base + o, 0] for o in offsets], -1)
+    np.testing.assert_allclose(np.asarray(out)[:4096], want[:4096],
+                               rtol=5e-4, atol=5e-4)
+    assert np.all(np.asarray(out)[4096:] == 0.0)
