@@ -48,6 +48,10 @@ class MaskCache(NamedTuple):
     act_shift: float
     thres: float
     occ_sup: jnp.ndarray  # [X+2,Y+2,Z+2] f32 0/1, 1-voxel padded
+    # occ_sup conservatively resampled to a fixed 64^3 lattice (1-dilated,
+    # 1-padded -> [66,66,66]) so the march can AND it with the per-step SDF
+    # surface-band mask and cull with a single combined nearest tap
+    occ64: jnp.ndarray
 
     def query(self, xyz: jnp.ndarray) -> jnp.ndarray:
         d = gridops.grid_sample_3d(
@@ -89,6 +93,28 @@ def make_mask_cache(
         occ_sup = (
             gridops.max_pool_3d_same(padded[..., None], 3)[..., 0] >= d_tau
         ).astype(jnp.float32)
+    # conservative 64^3 resampling of occ_sup for the band-combined cull:
+    # nearest-evaluate occ_sup on a 256^3 index lattice (dense enough for
+    # any occ resolution <= 254), max-pool 4^3 down to 64^3, dilate by one
+    # block so query rounding / lattice quantization can never lose a hit
+    X, Y, Z = pooled.shape[:3]
+    assert max(X, Y, Z) <= 254, "mask-cache res exceeds occ64 lattice"
+    LAT = 256
+
+    def lat_idx(n):
+        # lattice point l sits at the center of box l of a LAT-box world
+        # partition; its occ cell under query_nearest's corner convention
+        # is round(frac * (n-1)) (+1 pad offset). Lattice steps move the
+        # cell index by (n-1)/LAT < 1, so every cell is sampled.
+        ll = (jnp.arange(LAT, dtype=jnp.float32) + 0.5) / LAT * (n - 1)
+        return jnp.clip(jnp.round(ll).astype(jnp.int32) + 1, 0, n + 1)
+
+    o = occ_sup[lat_idx(X)][:, lat_idx(Y)][:, :, lat_idx(Z)]
+    o = jax.lax.reduce_window(
+        o, -jnp.inf, jax.lax.max, (4, 4, 4), (4, 4, 4), "VALID"
+    )
+    o = gridops.max_pool_3d_same(o[..., None], 3)[..., 0]
+    occ64 = jnp.pad(o, 1)
     return MaskCache(
         density=pooled,
         xyz_min=jnp.asarray(xyz_min, jnp.float32),
@@ -96,6 +122,7 @@ def make_mask_cache(
         act_shift=act_shift,
         thres=float(thres),
         occ_sup=occ_sup,
+        occ64=occ64,
     )
 
 
@@ -145,6 +172,13 @@ class VoxurfGeometry:
         self.points_per_ray_masked = int(
             m.get("points_budget_masked_per_ray", 4 * self.points_per_ray)
         )
+        # SDF surface-band cull (TPU optimization, no reference analogue):
+        # NeuS-alpha of a sample pair on the same side of the surface with
+        # |sdf| > factor/s_val is bounded by e^-factor, so phase 1 can also
+        # cull by a conservative per-block SDF range test. factor=14 bounds
+        # the per-ray transmittance error by S*e^-14 ~= 7e-4. 0 disables
+        # (coarse stages, where s_val is small and the band covers all).
+        self.surf_band_factor = float(m.get("surf_band_factor", 0.0))
 
     def set_grid_resolution(self, num_voxels: int) -> None:
         extent = self.xyz_max - self.xyz_min
@@ -225,6 +259,57 @@ class VoxurfGeometry:
             jnp.asarray(self.xyz_max), n_valid,
         )
 
+    def band_occ64(self, sdf_grid: jnp.ndarray, s_val) -> jnp.ndarray:
+        """[66,66,66] f32 0/1: mask-cache occupancy AND'ed with the SDF
+        surface band |sdf| <= surf_band_factor / s_val, on a padded 64^3
+        lattice for single nearest-tap phase-1 culling.
+
+        The band test is exact-conservative without any Lipschitz
+        assumption: trilinear values inside a cell are bounded by the cell
+        corners, so a 4^3 block passes iff its corner range intersects
+        [-band, band]; one 3^3 dilation covers nearest-rounding slop and
+        corner spill into neighbor blocks. A sample pair straddling the
+        surface always has a containing cell whose corners span the band
+        (adjacent cells share 4 corners), so crossings are never culled.
+        Pure function of (sdf_grid, s_val): XLA CSEs the build across the
+        primary/secondary/eps marches of one step (~0.5 ms each step)."""
+        # selection mask only — no gradient flows through the cull (and
+        # reduce_window max has no transpose rule under linearize)
+        a = jax.lax.stop_gradient(sdf_grid[..., 0])
+        X, Y, Z = a.shape
+        # resample the corner values onto a 256-lattice in the 64-box world
+        # partition (every corner index is hit: lattice step moves the
+        # corner index by (n-1)/256 < 1), then 4^3 min/max-pool to 64^3
+        LAT = 256
+
+        def lat(n):
+            ll = (jnp.arange(LAT, dtype=jnp.float32) + 0.5) / LAT * (n - 1)
+            return jnp.clip(jnp.round(ll).astype(jnp.int32), 0, n - 1)
+
+        a256 = a[lat(X)][:, lat(Y)][:, :, lat(Z)]
+        big = jnp.float32(3.4e38)
+        mn = -jax.lax.reduce_window(
+            -a256, -big, jax.lax.max, (4, 4, 4), (4, 4, 4), "VALID"
+        )
+        mx = jax.lax.reduce_window(
+            a256, -big, jax.lax.max, (4, 4, 4), (4, 4, 4), "VALID"
+        )
+        band = jnp.float32(self.surf_band_factor) / s_val
+        ok = ((mn <= band) & (mx >= -band)).astype(jnp.float32)
+        ok = gridops.max_pool_3d_same(ok[..., None], 3)[..., 0]
+        return jnp.pad(ok, 1) * self.mask_cache.occ64
+
+    def query_nearest64(self, occ: jnp.ndarray, xyz: jnp.ndarray):
+        """Box tap on a [66,66,66] padded 64^3 world-partition mask
+        (band_occ64): block = floor(frac * 64), +1 pad offset."""
+        lo = jnp.asarray(self.xyz_min)
+        hi = jnp.asarray(self.xyz_max)
+        frac = (xyz.reshape(-1, 3) - lo) / (hi - lo)
+        i = jnp.clip(jnp.floor(frac * 64).astype(jnp.int32) + 1, 0, 65)
+        lin = (i[:, 0] * 66 + i[:, 1]) * 66 + i[:, 2]
+        occ_v = jnp.take(occ.reshape(-1), lin) > 0.0
+        return occ_v.reshape(xyz.shape[:-1])
+
     # ------------------------------------------------------------ the march
 
     def march(
@@ -267,7 +352,13 @@ class VoxurfGeometry:
         K1 = min(k1_budget or (N * self.points_per_ray_masked), N * S)
 
         rs = self.sample_dense(rays_o, rays_d, near=near_override)
-        sup = rs.valid & self.mask_cache.query_nearest(rs.pts)
+        if self.surf_band_factor > 0:
+            occ = jax.lax.stop_gradient(
+                self.band_occ64(sdf_grid_smooth, s_val)
+            )
+            sup = rs.valid & self.query_nearest64(occ, rs.pts)
+        else:
+            sup = rs.valid & self.mask_cache.query_nearest(rs.pts)
 
         # ---- phase-1 compaction (order-preserving => ray-major sorted)
         flat1 = sup.reshape(-1)

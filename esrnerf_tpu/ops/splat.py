@@ -358,7 +358,11 @@ sorted_gather_rows.defvjp(_sorted_gather_rows_fwd, _sorted_gather_rows_bwd)
 # per-step packed-table rebuild, unlike the corner-pack path.
 # ---------------------------------------------------------------------------
 
-_GCH = 2048          # points per chunk (= one grid step)
+# points per chunk (= one grid step). Measured per-grid-step overhead is
+# ~0.9-2 ms regardless of in-step work (scripts/bench_gather_grid.py), so
+# bigger chunks amortize it; the cost is coarser locality (more table span
+# per chunk) and coarser n_valid pad skipping.
+_GCH = int(__import__("os").environ.get("ESR_GATHER_CHUNK", 2048))
 _GCAP = 98304        # table rows resident per piece (covers YZ+Z+1 @ 256^3)
 # Below this many points the plain XLA row gather wins outright: the kernel's
 # cost scales with the chunk's table span (a *scattered* 2048-point set — the
@@ -413,6 +417,7 @@ def _gather_kernel_body(C, R, M, offsets, raw, family, w0_ref, npc_ref,
     base0 = w0_ref[c]
     npc = npc_ref[c]
     cell_sub = jax.lax.broadcasted_iota(jnp.int32, (2 * _GROUP, _GROUP), 0)
+    cell_sub1 = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _GROUP), 0)
     pos_lane = jax.lax.broadcasted_iota(jnp.int32, (1, _GROUP), 1)
 
     cp_idx.wait()
@@ -451,6 +456,44 @@ def _gather_kernel_body(C, R, M, offsets, raw, family, w0_ref, npc_ref,
                 rel = row + (ck - pstart)      # [1, GROUP] base-slot cell
                 v_rel = valid & (rel >= 0) & (rel < _GCAP)
 
+                if not raw:
+                    # weighted (C>1) path: the verified v2 formulation —
+                    # one [C,128]x[128,128] matmul per tile. The family
+                    # rework (256-contraction, rolled LHS rows) hangs or
+                    # faults the TPU worker for C>1 (bench_family_shapes
+                    # c6); host asserts keep W==1 here.
+                    wrow = w_buf[k:k + 1, g, :]
+                    gs = g * _GROUP
+
+                    def tile_v(t, rel=rel, v_rel=v_rel):
+                        a1 = jnp.where(
+                            ((rel - t * _GROUP) == cell_sub1) & v_rel,
+                            1.0, 0.0,
+                        )
+                        return jax.lax.dot_general(
+                            pbuf[t], a1,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_GATHER_PRECISION,
+                        )  # [C, pts_lane]
+
+                    v = tile_v(t0) + tile_v(t0 + 1)
+                    cur = out_ref[0, :, pl.ds(gs, _GROUP)]
+                    out_ref[0, :, pl.ds(gs, _GROUP)] = cur + wrow * v
+
+                    @pl.when(t1 > t0 + 1)
+                    def _(t0=t0, t1=t1, gs=gs, wrow=wrow, tile_v=tile_v):
+                        def body(t, _):
+                            cur = out_ref[0, :, pl.ds(gs, _GROUP)]
+                            out_ref[0, :, pl.ds(gs, _GROUP)] = (
+                                cur + wrow * tile_v(t)
+                            )
+                            return 0
+
+                        jax.lax.fori_loop(t0 + 2, t1 + 1, body, 0)
+
+                    continue
+
                 def fam_v(t, rel=rel, v_rel=v_rel):
                     # one-hot over a 2-tile (256-cell) window anchored at t
                     a1 = jnp.where(
@@ -486,17 +529,10 @@ def _gather_kernel_body(C, R, M, offsets, raw, family, w0_ref, npc_ref,
                 gs = g * _GROUP
 
                 def accum(v, g=g, k=k):
-                    if raw:  # each slot gets its own output channel
-                        cur = out_ref[0, k * W:(k + 1) * W, pl.ds(gs, _GROUP)]
-                        out_ref[0, k * W:(k + 1) * W,
-                                pl.ds(gs, _GROUP)] = cur + v
-                    else:    # weighted sum of slots into the C channels
-                        acc = w_buf[k * W:k * W + 1, g, :] * v[:C]
-                        for w in range(1, W):
-                            acc = acc + (w_buf[k * W + w:k * W + w + 1, g, :]
-                                         * v[w * C:(w + 1) * C])
-                        cur = out_ref[0, :, pl.ds(gs, _GROUP)]
-                        out_ref[0, :, pl.ds(gs, _GROUP)] = cur + acc
+                    # raw: each slot gets its own output channel
+                    cur = out_ref[0, k * W:(k + 1) * W, pl.ds(gs, _GROUP)]
+                    out_ref[0, k * W:(k + 1) * W,
+                            pl.ds(gs, _GROUP)] = cur + v
 
                 # common case: the group's base span fits the 2-tile window
                 accum(fam_v(t0))
@@ -550,6 +586,10 @@ def sorted_corner_gather(
         family = (1, 1)
     sa, W = family
     assert W >= 1 and sa >= 1 and D % W == 0, (sa, W, D)
+    # family batching is raw-only: the weighted branch runs the verified
+    # v2 per-offset formulation (the batched variant hangs/faults the TPU
+    # worker for C>1 — scripts/bench_family_shapes.py c6; tz/ty/tx exact)
+    assert raw or W == 1, "family batching requires raw mode"
     for k in range(D // W):
         for w in range(W):
             assert offsets[k * W + w] == offsets[k * W] + w * sa, \
@@ -709,10 +749,12 @@ def _sorted_trilinear_sample_impl(grid, pts_sorted, xyz_min, xyz_max,
                  for d in range(8))
     # contract: pts inside the bbox (march points are) => base >= 0;
     # corner reads past the last cell land in the kernel's zero padding
-    # and carry zero weight anyway. The 8 corners form 4 z-pair families
-    # (stride 1): one batched matmul per pair instead of two
+    # and carry zero weight anyway. NOTE: no family batching here — the
+    # multi-row lane roll it needs for C>1 LHS rows crashes the TPU worker
+    # (Mosaic fault, scripts/bench_family_shapes.py c6); family mode is
+    # restricted to raw C=1 tables
     return sorted_corner_gather(grid.reshape(-1, C), base, wts, offs,
-                                n_valid=n_valid, family=(1, 2))
+                                n_valid=n_valid)
 
 
 def _sorted_trilinear_sample_fwd(grid, pts_sorted, xyz_min, xyz_max,

@@ -46,7 +46,8 @@ def sorted_cells(pts, X, Y, Z):
 
 
 def npc_estimate(base, W=6):
-    GCH, GCAP = 2048, 98304
+    from esrnerf_tpu.ops import splat as _sp
+    GCH, GCAP = _sp._GCH, 98304
     span = max(db * 66049 + dc * 257 + jj
                for db in (0, 1) for dc in (0, 1) for jj in range(W)) + 2
     nch = len(base) // GCH

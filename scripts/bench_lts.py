@@ -46,12 +46,13 @@ def main():
             "app.phase=train",
             "data.cls=esrnerf.ESRNeRF", "data.root=unused", "data.scene=unused",
             f"app.trainer.batch_size={batch}",
-            # solid-ball scene needs a larger phase-1 budget (bench.py note);
-            # overflow asserted 0 below. The ball interior is fully occupied,
-            # so secondary bounce rays ALSO cross ~360 occupied steps — real
-            # scenes are shells and keep the much smaller default
-            "app.model.points_budget_masked_per_ray=384",
-            "app.model.points_budget_masked_per_2ndray=384",
+            # phase-1 budgets sized for the SDF surface-band cull
+            # (surf_band_factor=14 at s_val=220 keeps a ~16-voxel shell
+            # around the ball surface; ~64 samples per crossing at step
+            # 0.5). Overflow is asserted 0 below — without the band cull
+            # the fully-occupied ball interior needed 384/ray
+            "app.model.points_budget_masked_per_ray=256",
+            "app.model.points_budget_masked_per_2ndray=160",
         ],
         root_dir=REPO,
     )

@@ -139,3 +139,42 @@ def test_overflow_reported(geo):
     m = geo.march(sdf_grid, ro, rd, vd, 25.0, 1e-4, "interp",
                   k_budget=8, style="coarse")
     assert float(m.overflow) > 0.0
+
+
+def test_surf_band_cull_parity(geo):
+    """Band cull (surf_band_factor) changes per-ray renders by at most the
+    e^-factor alpha-tail bound; culled samples are only far-field ones."""
+    import copy
+
+    rng = np.random.default_rng(3)
+    X = Y = Z = 20
+    x, y, z = np.mgrid[-1:1:X * 1j, -1:1:Y * 1j, -1:1:Z * 1j]
+    sdf = ((x**2 + y**2 + z**2) ** 0.5 - 0.6).astype(np.float32)[..., None]
+    sdf_j = jnp.asarray(sdf)
+    o, d, vd = random_rays(64, seed=4)
+    s_val = 80.0
+
+    def run(band):
+        g = copy.copy(geo)
+        g.surf_band_factor = band
+        m = g.march(sdf_j, o, d, vd, s_val, 1e-4, "interp", style="fine")
+        rgbish = jax.ops.segment_sum(
+            m.weights * m.sdf, m.ray_id, num_segments=m.n_rays + 1
+        )[:64]
+        return m, rgbish
+
+    m0, r0 = run(0.0)
+    m1, r1 = run(14.0)
+    # cum per-ray weights and the weighted reduction agree to the tail bound
+    np.testing.assert_allclose(np.asarray(m1.cum_weights),
+                               np.asarray(m0.cum_weights), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(m1.alphainv_last),
+                               np.asarray(m0.alphainv_last), atol=5e-4)
+    # the cull actually drops phase-1 candidates on this scene (phase-2
+    # survivors are near-surface and must be unaffected, checked above)
+    rs = geo.sample_dense(o, d)
+    occ = geo.band_occ64(sdf_j, s_val)
+    n_band = int((rs.valid & geo.query_nearest64(occ, rs.pts)).sum())
+    n_plain = int((rs.valid & geo.mask_cache.query_nearest(rs.pts)).sum())
+    assert n_band < n_plain
