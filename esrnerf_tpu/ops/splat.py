@@ -426,12 +426,24 @@ def _gather_kernel_body(C, R, M, offsets, raw, family, w0_ref, npc_ref,
 
     def piece_body(p, _):
         pstart = base0 + p * _GCAP
-        cp_t = pltpu.make_async_copy(
-            tbl_hbm.at[pl.ds(pstart // _GROUP, ncap_t + ext_t), :, :],
-            pbuf, sems.at[2],
-        )
-        cp_t.start()
-        cp_t.wait()
+        if raw:
+            cp_t = pltpu.make_async_copy(
+                tbl_hbm.at[pl.ds(pstart // _GROUP, ncap_t + ext_t), :, :],
+                pbuf, sems.at[2],
+            )
+            cp_t.start()
+            cp_t.wait()
+        else:
+            # weighted path: exactly the proven v2 structure — DMA the
+            # piece only, keep the one-past tile zero so the unclamped
+            # second-tile matmul read can't turn garbage into NaN
+            cp_t = pltpu.make_async_copy(
+                tbl_hbm.at[pl.ds(pstart // _GROUP, ncap_t), :, :],
+                pbuf.at[:ncap_t], sems.at[2],
+            )
+            cp_t.start()
+            cp_t.wait()
+            pbuf[ncap_t] = jnp.zeros_like(pbuf[ncap_t])
 
         for g in range(_GCH // _GROUP):
             gpos = c * _GCH + g * _GROUP
