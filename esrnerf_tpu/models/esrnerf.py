@@ -164,14 +164,16 @@ class ESRNeRF(VoxurfF):
         bx = jnp.concatenate(
             [samp(params["brdf"], pts), brdf_feat], -1
         )
-        brdf_out = jax.nn.sigmoid(mlpops.apply_mlp(params["brdfnet"], bx))
+        brdf_out = jax.nn.sigmoid(mlpops.apply_mlp(params["brdfnet"], bx,
+                                           compute_dtype=self.mlp_dtype))
         basecolor, roughness, metallic = (
             brdf_out[:, :3], brdf_out[:, 3:4], brdf_out[:, 4:5]
         )
         ex = jnp.concatenate(
             [samp(params[emit_grid_key], pts), brdf_feat], -1
         )
-        emit = jax.nn.softplus(mlpops.apply_mlp(params["emitnet"], ex))
+        emit = jax.nn.softplus(mlpops.apply_mlp(
+            params["emitnet"], ex, compute_dtype=self.mlp_dtype))
         return basecolor, roughness, metallic, emit
 
     # ------------------------------------------------------- secondary march
@@ -245,7 +247,8 @@ class ESRNeRF(VoxurfF):
             x = jnp.concatenate(
                 [self.geo.sample_grid(params[f"{h}_color"], pts2), rgb_feat], -1
             )
-            return jax.nn.softplus(mlpops.apply_mlp(params[f"{h}_rgbnet"], x))
+            return jax.nn.softplus(mlpops.apply_mlp(
+                params[f"{h}_rgbnet"], x, compute_dtype=self.mlp_dtype))
 
         off = head("off")   # [2P,3]
         emo = head("emo")
@@ -532,7 +535,8 @@ class ESRNeRF(VoxurfF):
         ex = jnp.concatenate(
             [geo.sample_grid(params[emit_grid_key], m.pts), brdf_feat], -1
         )
-        emit = jax.nn.softplus(mlpops.apply_mlp(params["emitnet"], ex))
+        emit = jax.nn.softplus(mlpops.apply_mlp(
+            params["emitnet"], ex, compute_dtype=self.mlp_dtype))
         return geo.segment_to_rays(m, emit)
 
     def eval_esp(self, params: Params, rays_o, rays_d, viewdirs, s_val):
@@ -607,7 +611,8 @@ class ESRNeRF(VoxurfF):
         ex = jnp.concatenate(
             [geo.sample_grid(full["emo_color"], pts2), rgb_feat], -1
         )
-        emo = jax.nn.softplus(mlpops.apply_mlp(full["emo_rgbnet"], ex))
+        emo = jax.nn.softplus(mlpops.apply_mlp(
+            full["emo_rgbnet"], ex, compute_dtype=self.mlp_dtype))
 
         # everything below builds the target — stop-gradient world
         tgt = jax.lax.stop_gradient

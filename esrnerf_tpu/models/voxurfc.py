@@ -37,6 +37,12 @@ class VoxurfC:
         # coarse.py:426-436)
         self.mask_meta = mask_meta or {}
         m = cfg.app.model
+        # bf16 MLP matmuls on the MXU (fp32 master params + fp32
+        # accumulate): the reference's torch Linears run TF32 on
+        # Ampere, so a reduced-precision compute path is the parity
+        # norm; PSNR thresholds in the pipeline e2e gate it
+        self.mlp_dtype = (jnp.bfloat16
+                          if m.get("mlp_bf16", True) else None)
         self.geo = VoxurfGeometry(cfg, near, far, xyz_min, xyz_max, mask_cache)
         self.s_val = float(s_val)
 
@@ -108,11 +114,13 @@ class VoxurfC:
         off_in = jnp.concatenate(
             [samp(params["off_color"], pts), feat], -1
         )
-        off = jax.nn.sigmoid(mlpops.apply_mlp(params["off_rgbnet"], off_in))
+        off = jax.nn.sigmoid(mlpops.apply_mlp(
+            params["off_rgbnet"], off_in, compute_dtype=self.mlp_dtype))
         emo_in = jnp.concatenate(
             [samp(params["emo_color"], pts), feat], -1
         )
-        emo = jax.nn.sigmoid(mlpops.apply_mlp(params["emo_rgbnet"], emo_in))
+        emo = jax.nn.sigmoid(mlpops.apply_mlp(
+            params["emo_rgbnet"], emo_in, compute_dtype=self.mlp_dtype))
         return jnp.where(on_mask[:, None], emo, 0.0) + off, off, emo
 
     # -------------------------------------------------------------- forwards

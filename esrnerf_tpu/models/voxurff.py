@@ -37,6 +37,12 @@ class VoxurfF:
         self.cfg = cfg
         self.mask_meta = mask_meta or {}
         m = cfg.app.model
+        # bf16 MLP matmuls on the MXU (fp32 master params + fp32
+        # accumulate): the reference's torch Linears run TF32 on
+        # Ampere, so a reduced-precision compute path is the parity
+        # norm; PSNR thresholds in the pipeline e2e gate it
+        self.mlp_dtype = (jnp.bfloat16
+                          if m.get("mlp_bf16", True) else None)
         self.geo = VoxurfGeometry(cfg, near, far, xyz_min, xyz_max, mask_cache)
         self.geo.set_grid_resolution(int(num_voxels))
         self.s_val = float(s_val)
@@ -148,7 +154,8 @@ class VoxurfF:
         colorfreq = jnp.asarray([2.0**i for i in range(self.colorbase_pe)])
         emb = (lin_rgb[..., None] * colorfreq).reshape(*lin_rgb.shape[:-1], -1)
         feat = jnp.concatenate([lin_rgb, jnp.sin(emb), jnp.cos(emb)], -1)
-        return jax.nn.sigmoid(mlpops.apply_mlp(params["tonemapper"], feat))
+        return jax.nn.sigmoid(mlpops.apply_mlp(
+            params["tonemapper"], feat, compute_dtype=self.mlp_dtype))
 
     def _radiance(self, params, head: str, pts, feat, sorted_pts=False,
                   n_valid=None):
@@ -158,7 +165,8 @@ class VoxurfF:
         else:
             samp = self.geo.sample_grid
         x = jnp.concatenate([samp(grid, pts), feat], -1)
-        return jax.nn.softplus(mlpops.apply_mlp(params[f"{head}_rgbnet"], x))
+        return jax.nn.softplus(mlpops.apply_mlp(
+            params[f"{head}_rgbnet"], x, compute_dtype=self.mlp_dtype))
 
     # -------------------------------------------------------------- forwards
 

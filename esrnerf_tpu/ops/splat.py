@@ -364,6 +364,9 @@ sorted_gather_rows.defvjp(_sorted_gather_rows_fwd, _sorted_gather_rows_bwd)
 # per chunk) and coarser n_valid pad skipping.
 _GCH = int(__import__("os").environ.get("ESR_GATHER_CHUNK", 2048))
 _GCAP = 98304        # table rows resident per piece (covers YZ+Z+1 @ 256^3)
+# raw C=1 tap gathers can afford much taller pieces in VMEM (rows are 4 B);
+# fewer pieces amortize whatever the measured ~1.4 ms/piece fixed cost is
+_GCAP_RAW = int(__import__("os").environ.get("ESR_GATHER_PIECE_RAW", 98304))
 # Below this many points the plain XLA row gather wins outright: the kernel's
 # cost scales with the chunk's table span (a *scattered* 2048-point set — the
 # LTS surface points — spans the whole 16.7M-row grid: ~170 piece sweeps,
@@ -379,7 +382,7 @@ _GATHER_PRECISION = {
 }[__import__("os").environ.get("ESR_GATHER_PRECISION", "highest")]
 
 
-def _gather_kernel_body(C, R, M, offsets, raw, family, w0_ref, npc_ref,
+def _gather_kernel_body(C, R, M, offsets, raw, family, gcap, w0_ref, npc_ref,
                         gf_ref, gl_ref, idx_hbm, w_hbm, tbl_hbm, out_ref,
                         idx_buf, w_buf, pbuf, sems):
     # lane-major throughout: points and cells ride the 128-lane dim, so no
@@ -396,7 +399,7 @@ def _gather_kernel_body(C, R, M, offsets, raw, family, w0_ref, npc_ref,
     sa, W = family
     K = len(offsets) // W
     c = pl.program_id(0)
-    ncap_t = _GCAP // _GROUP
+    ncap_t = gcap // _GROUP
     # extra tiles DMA'd past the piece so every slot of a family anchored in
     # this piece reads resident data (slot w reads base + w*sa)
     ext_t = ((W - 1) * sa) // _GROUP + 2
@@ -425,7 +428,7 @@ def _gather_kernel_body(C, R, M, offsets, raw, family, w0_ref, npc_ref,
         cp_w.wait()
 
     def piece_body(p, _):
-        pstart = base0 + p * _GCAP
+        pstart = base0 + p * gcap
         if raw:
             cp_t = pltpu.make_async_copy(
                 tbl_hbm.at[pl.ds(pstart // _GROUP, ncap_t + ext_t), :, :],
@@ -466,7 +469,7 @@ def _gather_kernel_body(C, R, M, offsets, raw, family, w0_ref, npc_ref,
                     (gl + ck - pstart) // _GROUP, ncap_t - 1
                 )
                 rel = row + (ck - pstart)      # [1, GROUP] base-slot cell
-                v_rel = valid & (rel >= 0) & (rel < _GCAP)
+                v_rel = valid & (rel >= 0) & (rel < gcap)
 
                 if not raw:
                     # weighted (C>1) path: the verified v2 formulation —
@@ -646,8 +649,9 @@ def sorted_corner_gather(
     # ext covers the family-slot extension, so the table must be padded past
     # R by span + _GCAP + ext — anything less leaves out-of-bounds HBM reads
     span = max(offsets) + 2
+    gcap = _GCAP_RAW if raw else _GCAP
     ext_t = ((W - 1) * sa) // _GROUP + 2
-    r_pad = (-(-(R + span + _GCAP + (ext_t + 1) * _GROUP) // _GROUP)) \
+    r_pad = (-(-(R + span + gcap + (ext_t + 1) * _GROUP) // _GROUP)) \
         * _GROUP
     tbl_p = jnp.pad(table, ((0, r_pad - R), (0, 0))).reshape(
         r_pad // _GROUP, _GROUP, C
@@ -661,7 +665,7 @@ def sorted_corner_gather(
     cmax = glast.max(axis=1)
     w0 = jnp.clip((cmin // _GROUP) * _GROUP, 0, R)
     npc = jnp.clip(
-        -(-(cmax + span - w0) // _GCAP), 0, 1 + (R + span) // _GCAP
+        -(-(cmax + span - w0) // gcap), 0, 1 + (R + span) // gcap
     ).astype(jnp.int32)
     if n_valid is not None:
         chunk_start = jnp.arange(nch, dtype=jnp.int32) * _GCH
@@ -670,7 +674,7 @@ def sorted_corner_gather(
     c_out = D if raw else C
     kernel = functools.partial(
         _gather_kernel_body, C, R, M, tuple(int(o) for o in offsets), raw,
-        (sa, W),
+        (sa, W), gcap,
     )
     out = pl.pallas_call(
         kernel,
@@ -689,7 +693,7 @@ def sorted_corner_gather(
                 pltpu.VMEM((_GCH // _GROUP, _GROUP), jnp.int32),
                 pltpu.VMEM((max(1, D if not raw else 1),
                             _GCH // _GROUP, _GROUP), jnp.float32),
-                pltpu.VMEM((_GCAP // _GROUP + ext_t, C, _GROUP),
+                pltpu.VMEM((gcap // _GROUP + ext_t, C, _GROUP),
                            jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
