@@ -247,9 +247,10 @@ class Coarse(AppClass):
                 tv = model.density_total_variation(p, sdf_tv, smooth_grad_tv)
                 tv_loss = w_tvd * tv + w_tvc * model.color_total_variation(p)
                 loss = loss + tv_flag * tv_loss / sh.n
-                return loss, (mse, res["etc/overflow"])
+                return loss, (mse, res["etc/overflow"],
+              res["etc/k1_frac"], res["etc/k2_frac"])
 
-            (loss, (mse, ovf)), grads = jax.value_and_grad(
+            (loss, (mse, ovf, k1f, k2f)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
             grads = sh.gsum(grads)
@@ -313,7 +314,9 @@ class Coarse(AppClass):
                     )
                 logger.log(
                     {"train/metric/srgb/MSE": m, "train/metric/srgb/PSNR": p,
-                     "train/metric/etc/overflow": self.track_overflow(ovf)},
+                     "train/metric/etc/overflow": self.track_overflow(ovf),
+                     "train/metric/etc/k1_frac": float(k1f),
+                     "train/metric/etc/k2_frac": float(k2f)},
                     step=self.global_step,
                 )
 

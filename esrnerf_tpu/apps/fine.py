@@ -226,11 +226,12 @@ class Fine(AppClass):
                 loss = loss + tv_flag * model.density_total_variation(
                     p, smooth_grad_tv
                 ) / sh.n
-                return loss, (mse, lin_mse, res["etc/overflow"])
+                return loss, (mse, lin_mse, res["etc/overflow"],
+              res["etc/k1_frac"], res["etc/k2_frac"])
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = sh.gsum(grads)
-            mse, lin_mse, ovf = aux
+            mse, lin_mse, ovf, k1f, k2f = aux
 
             # in-place SDF TV -> gradient term (fine.py:397-401), added once
             # to the global (psum'd) gradient so sparse mode sees the same
@@ -314,6 +315,8 @@ class Fine(AppClass):
                         f"{means['srgb/PSNR']:.2f} (l) psnr = {means['lin/PSNR']:.2f}"
                     )
                 means["etc/overflow"] = self.track_overflow(ovf)
+                means["etc/k1_frac"] = float(k1f)
+                means["etc/k2_frac"] = float(k2f)
                 logger.log(
                     {f"train/metric/{k}": v for k, v in means.items()},
                     step=self.global_step,

@@ -195,11 +195,12 @@ class LTS(Fine):
                 loss = loss + tv_flag * model.density_total_variation(
                     p, smooth_grad_tv
                 ) / sh.n
-                return loss, (mse, lin_mse, off_l, emo_l, res["etc/overflow"])
+                return loss, (mse, lin_mse, off_l, emo_l, res["etc/overflow"],
+              res["etc/k1_frac"], res["etc/k2_frac"])
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = sh.gsum(grads)
-            mse, lin_mse, off_l, emo_l, ovf = aux
+            mse, lin_mse, off_l, emo_l, ovf, k1f, k2f = aux
             tv_dense_g = model.sdf_tv_grad(params["sdf"], sdf_tv_w)
             tv_sparse_g = model.sdf_tv_grad(
                 params["sdf"], sdf_tv_w, sparse_grad=grads["sdf"]
@@ -252,7 +253,7 @@ class LTS(Fine):
                 ),
                 jnp.bool_(self.global_step < self.tv_dense_before), sub,
             )
-            mse, lin_mse, off_l, emo_l, ovf = aux
+            mse, lin_mse, off_l, emo_l, ovf, k1f, k2f = aux
 
             decay = self.lr_scheduler.decay_factor
             for k in self.lr_scales:
@@ -278,6 +279,8 @@ class LTS(Fine):
                         f"{means['lin/pbr/emo_MSE']:.5f}"
                     )
                 means["etc/overflow"] = self.track_overflow(ovf)
+                means["etc/k1_frac"] = float(k1f)
+                means["etc/k2_frac"] = float(k2f)
                 logger.log(
                     {f"train/metric/{k}": v for k, v in means.items()},
                     step=self.global_step,

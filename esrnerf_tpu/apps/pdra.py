@@ -257,11 +257,12 @@ class PDRA(LTS):
                 loss = loss + tv_flag * model.density_total_variation(
                     p, smooth_grad_tv
                 ) / sh.n
-                return loss, (mse, lin_mse, off_l, emo_l, res["etc/overflow"])
+                return loss, (mse, lin_mse, off_l, emo_l, res["etc/overflow"],
+              res["etc/k1_frac"], res["etc/k2_frac"])
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = sh.gsum(grads)
-            mse, lin_mse, off_l, emo_l, ovf = aux
+            mse, lin_mse, off_l, emo_l, ovf, k1f, k2f = aux
             tv_dense_g = model.sdf_tv_grad(params["sdf"], sdf_tv_w)
             tv_sparse_g = model.sdf_tv_grad(
                 params["sdf"], sdf_tv_w, sparse_grad=grads["sdf"]

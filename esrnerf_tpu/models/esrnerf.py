@@ -400,6 +400,8 @@ class ESRNeRF(VoxurfF):
             ),
             "etc/point_valid": pt_valid,
             "etc/overflow": m.overflow,
+            "etc/k1_frac": m.k1_frac,
+            "etc/k2_frac": m.k2_frac,
         }
 
     # ------------------------------------------------------------ evaluation

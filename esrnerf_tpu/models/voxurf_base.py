@@ -144,6 +144,11 @@ class March(NamedTuple):
     n_rays: int
     overflow: jnp.ndarray   # [] fraction of surviving samples dropped
     n_valid: jnp.ndarray    # [] count of non-pad rows (pads are a tail)
+    # [] budget utilizations (actual/budget, may exceed 1 on overflow):
+    # watch these to size points_budget_masked_* / points_budget_* — with
+    # the surface-band cull the phase-1 budgets can usually shrink 2-4x
+    k1_frac: jnp.ndarray
+    k2_frac: jnp.ndarray
 
 
 class VoxurfGeometry:
@@ -523,6 +528,8 @@ class VoxurfGeometry:
             sdf=sdf_c, pad=pad, alphainv_last=alphainv_last,
             cum_weights=cum_weights, n_rays=N, overflow=overflow,
             n_valid=nv2,
+            k1_frac=n1.astype(jnp.float32) / K1,
+            k2_frac=n2.astype(jnp.float32) / K2,
         )
 
     def segment_to_rays(self, march: March, values: jnp.ndarray) -> jnp.ndarray:

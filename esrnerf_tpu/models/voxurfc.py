@@ -154,6 +154,8 @@ class VoxurfC:
             "etc/white_bg": (1.0 - m.cum_weights)[:, None],
             "srgb/rgb": rgb_marched,
             "etc/overflow": m.overflow,
+            "etc/k1_frac": m.k1_frac,
+            "etc/k2_frac": m.k2_frac,
         }
 
     def forward_evaluate(

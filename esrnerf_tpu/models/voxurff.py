@@ -203,6 +203,8 @@ class VoxurfF:
             "srgb/rgb": rgb_m,
             "lin/rgb": lin_m,
             "etc/overflow": m.overflow,
+            "etc/k1_frac": m.k1_frac,
+            "etc/k2_frac": m.k2_frac,
         }
 
     def forward_evaluate(

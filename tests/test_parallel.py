@@ -122,6 +122,11 @@ def test_lts_trainer_shard_map_matches_single_device():
 
     n_rays, ppr, D = 32, 16, 8
     overrides = [
+        # exact cross-layout parity is this test's contract; bf16 MLP
+        # matmuls accumulate in a shape-dependent order (2-3e-4 drift
+        # between layouts), so pin f32 here — bf16 *quality* is gated by
+        # the pipeline-e2e PSNR thresholds instead
+        "app.model.mlp_bf16=false",
         "app.phase=train",
         "data.cls=esrnerf.ESRNeRF", "data.root=unused", "data.scene=unused",
         "app.model.ray_sampling=fib",
@@ -188,10 +193,16 @@ def test_lts_trainer_shard_map_matches_single_device():
     b2 = shard_batch(jax.tree.map(jnp.asarray, batch_np), mesh)
     p2, aux2 = run(app2, p2r, s2r, step2, b2)
 
-    # overflow must be zero on both layouts or the selected sets differ
-    assert float(aux1[-1]) == 0.0 and float(aux2[-1]) == 0.0
-    for a, b in zip(aux1[:-1], aux2[:-1]):
+    # aux = (mse, lin_mse, off_l, emo_l, overflow, k1_frac, k2_frac):
+    # losses must match tightly, overflow must be zero on both layouts or
+    # the selected sets differ; the budget-utilization diagnostics only
+    # agree approximately (per-shard division + mean vs one global
+    # division)
+    assert float(aux1[4]) == 0.0 and float(aux2[4]) == 0.0
+    for a, b in zip(aux1[:4], aux2[:4]):
         assert np.isclose(float(a), float(b), rtol=1e-4, atol=1e-7), (a, b)
+    for a, b in zip(aux1[5:], aux2[5:]):
+        assert np.isclose(float(a), float(b), rtol=3e-2, atol=1e-4), (a, b)
     for k in p1:
         np.testing.assert_allclose(
             np.asarray(jax.tree.leaves(p1[k])[0]),
