@@ -133,11 +133,24 @@ class AppClass:
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def place_replicated(self, tree):
+        """Place parameters / optimizer state on the mesh.
+
+        Default: replicated (grids fit per-chip at the reference's
+        workloads). ``system.param_shard=fsdp`` under the gspmd path
+        shards every voxel grid (and its Adam moments) over the data axis
+        instead — persistent HBM drops by the shard count while XLA
+        all-gathers grids just-in-time inside the step (needed for >=512^3
+        grids). The shard_map fast path requires replicated params by
+        construction and ignores the flag.
+        """
         if self.mesh is not None:
             import jax
 
-            from esrnerf_tpu.parallel import replicated
+            from esrnerf_tpu.parallel import place_params_fsdp, replicated
 
+            if (str(self.cfg.system.get("param_shard") or "none") == "fsdp"
+                    and self.parallel_mode == "gspmd"):
+                return place_params_fsdp(tree, self.mesh)
             return jax.device_put(tree, replicated(self.mesh))
         return tree
 

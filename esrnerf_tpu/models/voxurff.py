@@ -41,8 +41,11 @@ class VoxurfF:
         # accumulate): the reference's torch Linears run TF32 on
         # Ampere, so a reduced-precision compute path is the parity
         # norm; PSNR thresholds in the pipeline e2e gate it
-        self.mlp_dtype = (jnp.bfloat16
-                          if m.get("mlp_bf16", True) else None)
+        self.mlp_dtype = (
+            jnp.bfloat16
+            if str(cfg.system.get("compute_dtype")
+                   or "bfloat16") == "bfloat16" else None
+        )
         self.geo = VoxurfGeometry(cfg, near, far, xyz_min, xyz_max, mask_cache)
         self.geo.set_grid_resolution(int(num_voxels))
         self.s_val = float(s_val)

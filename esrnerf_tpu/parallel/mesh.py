@@ -51,6 +51,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def fsdp_param_sharding(mesh: Mesh, x, axis: str = "data") -> NamedSharding:
+    """FSDP-style persistent-state sharding for one parameter array.
+
+    Voxel grids (and their Adam moments — 3x the grid bytes total) dominate
+    HBM: shard any >=3-D array whose leading dim divides the data axis over
+    that axis; everything else (MLP weights, scalars) stays replicated. XLA
+    all-gathers a sharded grid just-in-time where the step needs full rows
+    (a transient), and reduce-scatters its gradient — the persistent
+    footprint drops by the shard count. Numerics are unchanged (all-gather
+    is exact; grad reduction order is XLA's either way)."""
+    n = int(np.prod(mesh.devices.shape))
+    if getattr(x, "ndim", 0) >= 3 and x.shape[0] % max(n, 1) == 0 and n > 1:
+        return NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+    return NamedSharding(mesh, P())
+
+
+def place_params_fsdp(tree, mesh: Mesh, axis: str = "data"):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, fsdp_param_sharding(mesh, x, axis)), tree
+    )
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     """Place every leading-dim tensor of a batch on the data axis."""
     sh = batch_sharding(mesh, axis)

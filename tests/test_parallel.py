@@ -126,7 +126,7 @@ def test_lts_trainer_shard_map_matches_single_device():
         # matmuls accumulate in a shape-dependent order (2-3e-4 drift
         # between layouts), so pin f32 here — bf16 *quality* is gated by
         # the pipeline-e2e PSNR thresholds instead
-        "app.model.mlp_bf16=false",
+        "system.compute_dtype=float32",
         "app.phase=train",
         "data.cls=esrnerf.ESRNeRF", "data.root=unused", "data.scene=unused",
         "app.model.ray_sampling=fib",
@@ -258,3 +258,71 @@ def test_shard_map_fast_path_matches_single_device():
             np.asarray(p1[k]), np.asarray(p2[k]), rtol=1e-5, atol=1e-6,
             err_msg=k,
         )
+
+
+def test_fsdp_param_sharding_matches_replicated():
+    """system.param_shard=fsdp (gspmd): voxel grids + Adam moments shard
+    over the data axis, numerics match the replicated run (all-gather is
+    exact), and the App plumbing honors the cfg switch."""
+    from esrnerf_tpu.parallel import place_params_fsdp
+
+    cfg = load_cfg(
+        "cfg/exp/esrnerf/giftbox_w/alphamask.yaml",
+        ["app.phase=train", "app.model.num_voxels=32768"], root_dir=REPO,
+    )
+    model = DVGO(cfg, 0.5, 4.0, [-1, -1, -1], [1, 1, 1])
+    params = model.init_params()
+    opt = Adam({"density": 0.1, "off_color": 0.1, "emo_color": 0.1})
+    state = opt.init(params)
+
+    def train_step(params, state, batch, key):
+        def loss_fn(p):
+            res = model.forward_training(
+                p, batch["rays_o"], batch["rays_d"], batch["em_modes"], key
+            )
+            pred = jnp.clip(res["srgb/rgb"] + res["etc/white_bg"], 0, 1)
+            return ((pred - batch["rgbs"]) ** 2).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, state = opt.step(params, grads, state)
+        return params, state, loss
+
+    step = jax.jit(train_step)
+    batch_np = make_batch(64)
+    key = jax.random.PRNGKey(0)
+    mesh = get_mesh()
+
+    # replicated reference
+    p1 = jax.device_put(params, replicated(mesh))
+    s1 = jax.device_put(state, replicated(mesh))
+    b = shard_batch({k: jnp.asarray(v) for k, v in batch_np.items()}, mesh)
+    for _ in range(3):
+        p1, s1, l1 = step(p1, s1, b, key)
+
+    # fsdp-sharded params + optimizer state
+    p2 = place_params_fsdp(params, mesh)
+    s2 = place_params_fsdp(state, mesh)
+    assert p2["density"].sharding.spec[0] == "data"  # grid actually sharded
+    assert jax.tree.leaves(s2)[0].sharding is not None
+    for _ in range(3):
+        p2, s2, l2 = step(p2, s2, b, key)
+
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), rtol=1e-6, atol=1e-7,
+            err_msg=k,
+        )
+
+    # App-level cfg plumbing
+    from esrnerf_tpu.apps.alphamask import AlphaMask
+
+    cfg2 = load_cfg(
+        "cfg/exp/esrnerf/giftbox_w/alphamask.yaml",
+        ["app.phase=train", "app.model.num_voxels=32768",
+         "system.parallel=gspmd", "system.param_shard=fsdp"], root_dir=REPO,
+    )
+    app = AlphaMask(cfg2)
+    app._mesh = mesh
+    placed = app.place_replicated(params)
+    assert placed["density"].sharding.spec[0] == "data"
