@@ -248,7 +248,7 @@ class Coarse(AppClass):
                 tv_loss = w_tvd * tv + w_tvc * model.color_total_variation(p)
                 loss = loss + tv_flag * tv_loss / sh.n
                 return loss, (mse, res["etc/overflow"],
-              res["etc/k1_frac"], res["etc/k2_frac"])
+                              res["etc/k1_frac"], res["etc/k2_frac"])
 
             (loss, (mse, ovf, k1f, k2f)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -257,7 +257,8 @@ class Coarse(AppClass):
             params, opt_state = opt.step(
                 params, grads, opt_state, lr_scales=lr_scales
             )
-            return params, opt_state, (mse, sh.gmax(ovf))
+            return params, opt_state, (mse, sh.gmax(ovf),
+                                       sh.gmax(k1f), sh.gmax(k2f))
 
         return self.wrap_train_step(train_step)
 
@@ -286,7 +287,7 @@ class Coarse(AppClass):
                 self.tv_from < self.global_step < self.tv_end
                 and self.global_step % self.tv_every == 0
             )
-            self.params, self.opt_state, (mse, ovf) = train_step(
+            self.params, self.opt_state, (mse, ovf, k1f, k2f) = train_step(
                 self.params, self.opt_state, batch, jnp.float32(s_val),
                 {k: jnp.float32(v) for k, v in self.lr_scales.items()},
                 jnp.float32(1.0 if tv_on else 0.0),

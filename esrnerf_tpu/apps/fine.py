@@ -247,7 +247,8 @@ class Fine(AppClass):
             params, opt_state = opt.step(
                 params, grads, opt_state, lr_scales=lr_scales
             )
-            return params, opt_state, (mse, lin_mse, sh.gmax(ovf))
+            return params, opt_state, (mse, lin_mse, sh.gmax(ovf),
+                                       sh.gmax(k1f), sh.gmax(k2f))
 
         return self.wrap_train_step(train_step)
 
@@ -284,7 +285,7 @@ class Fine(AppClass):
                 self.tv_from < self.global_step < self.tv_end
                 and self.global_step % self.tv_every == 0
             )
-            self.params, self.opt_state, (mse, lin_mse, ovf) = train_step(
+            self.params, self.opt_state, (mse, lin_mse, ovf, k1f, k2f) = train_step(
                 self.params, self.opt_state, batch, jnp.float32(s_val),
                 {k: jnp.float32(v) for k, v in self.lr_scales.items()},
                 jnp.float32(1.0 if tv_on else 0.0),

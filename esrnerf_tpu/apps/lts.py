@@ -212,7 +212,8 @@ class LTS(Fine):
                 params, grads, opt_state, lr_scales=lr_scales
             )
             return params, opt_state, (mse, lin_mse, off_l, emo_l,
-                                       sh.gmax(ovf))
+                                       sh.gmax(ovf), sh.gmax(k1f),
+                                       sh.gmax(k2f))
 
         return self.wrap_train_step(train_step)
 

@@ -274,7 +274,8 @@ class PDRA(LTS):
                 params, grads, opt_state, lr_scales=lr_scales
             )
             return params, opt_state, (mse, lin_mse, off_l, emo_l,
-                                       sh.gmax(ovf))
+                                       sh.gmax(ovf), sh.gmax(k1f),
+                                       sh.gmax(k2f))
 
         return self.wrap_train_step(train_step)
 

@@ -185,7 +185,10 @@ class ESRNeRF(VoxurfF):
         """Volume-render incoming radiance along secondary rays
         (reference esrnerf.py:574-651): march with near=lts_near, fine-style
         filters, radiance heads, segment reduce. Returns
-        ({head: [Nsec,3]}, alphainv_last [Nsec])."""
+        ({head: [Nsec,3]}, alphainv_last [Nsec], stats) where stats packs
+        (overflow, k1_frac, k2_frac) — the secondary march has its OWN
+        (smaller) budgets, so its overflow must not vanish behind the
+        primary's."""
         geo = self.geo
         Nsec = rays_o.shape[0]
         m = geo.march(
@@ -203,14 +206,14 @@ class ESRNeRF(VoxurfF):
             lin = self._radiance(params, h, m.pts, feat, sorted_pts=True,
                                  n_valid=m.n_valid)
             out[h] = geo.segment_to_rays(m, lin)
-        return out, m.alphainv_last
+        stats = jnp.stack([m.overflow, m.k1_frac, m.k2_frac])
+        return out, m.alphainv_last, stats
 
     def light_transport_segment(
         self, params: Params, key: Optional[jax.Array],
         pts, viewdirs, normal, sdf, basecolor, roughness, metallic, emission,
         uncert, valid, s_val,
     ) -> Dict[str, jnp.ndarray]:
-        n_valid_sel = valid.sum()
         """Training-time LTS (reference esrnerf.py:487-679).
 
         pts..uncert are the P selected surface points (P static); ``valid``
@@ -218,6 +221,7 @@ class ESRNeRF(VoxurfF):
         their reconstructions, each [2P, 3] (actual viewdir block then
         random-viewdir block, like the reference's repeat([2,1]) layout).
         """
+        n_valid_sel = valid.sum()
         P = pts.shape[0]
         n2 = self.num_2ndrays
 
@@ -269,7 +273,7 @@ class ESRNeRF(VoxurfF):
         # incoming radiance along the secondary rays -----------------------
         sec_o = flat(pts)
         sec_d = dirs.reshape(P * n2, 3)
-        inc, alphainv_last = self._secondary_radiance(
+        inc, alphainv_last, sec_stats = self._secondary_radiance(
             params, sec_o, sec_d, s_val
         )
 
@@ -293,7 +297,7 @@ class ESRNeRF(VoxurfF):
         valid2 = jnp.tile(valid, 2)
         return {
             "off": off, "emo": emo, "off_hat": off_hat, "emo_hat": emo_hat,
-            "valid": valid2,
+            "valid": valid2, "sec_stats": sec_stats,
         }
 
     def _select_lts_points(self, key: jax.Array, march, P: int):
@@ -399,9 +403,12 @@ class ESRNeRF(VoxurfF):
                 [basecolor_e, rough_e, metal_e], -1
             ),
             "etc/point_valid": pt_valid,
-            "etc/overflow": m.overflow,
-            "etc/k1_frac": m.k1_frac,
-            "etc/k2_frac": m.k2_frac,
+            # the secondary march has its own (much smaller) budgets: its
+            # overflow must trip the same alarms as the primary's, and its
+            # utilizations drive the *_per_2ndray budget sizing
+            "etc/overflow": jnp.maximum(m.overflow, lts["sec_stats"][0]),
+            "etc/k1_frac": jnp.maximum(m.k1_frac, lts["sec_stats"][1]),
+            "etc/k2_frac": jnp.maximum(m.k2_frac, lts["sec_stats"][2]),
         }
 
     # ------------------------------------------------------------ evaluation
@@ -504,7 +511,7 @@ class ESRNeRF(VoxurfF):
             flat(basecolor), flat(roughness, 1), flat(metallic, 1),
             flat(normal), dirs.reshape(K * n2, 3), -flat(viewdirs_pt),
         )
-        inc, alphainv_last = self._secondary_radiance(
+        inc, alphainv_last, _ = self._secondary_radiance(
             params, flat(pts), dirs.reshape(K * n2, 3), s_val
         )
         env = self.envmap_eval(params, dirs.reshape(K * n2, 3))
@@ -637,7 +644,7 @@ class ESRNeRF(VoxurfF):
             jnp.tile(dirs.reshape(P * n2, 3), (2, 1)),
             jnp.concatenate([-flat(vd), -flat(vd_rand)], 0),
         )
-        inc, _ = self._secondary_radiance(
+        inc, _, _ = self._secondary_radiance(
             full, flat(pts), dirs.reshape(P * n2, 3), s_val, heads=("emo",)
         )
         lin_emo_in = tgt(inc["emo"])

@@ -282,22 +282,27 @@ class VoxurfGeometry:
         # reduce_window max has no transpose rule under linearize)
         a = jax.lax.stop_gradient(sdf_grid[..., 0])
         X, Y, Z = a.shape
-        # resample the corner values onto a 256-lattice in the 64-box world
-        # partition (every corner index is hit: lattice step moves the
-        # corner index by (n-1)/256 < 1), then 4^3 min/max-pool to 64^3
-        LAT = 256
+        # resample the corner values onto a per-axis lattice in the 64-box
+        # world partition, then min/max-pool to 64^3. Conservativeness
+        # needs every corner index hit, i.e. lattice step (n-1)/LAT < 1,
+        # so LAT is the per-axis multiple of 64 that is >= n (not a fixed
+        # 256: a 400-cell axis would silently skip corners and could cull
+        # true surface crossings)
+        big = jnp.float32(3.4e38)
 
         def lat(n):
+            LAT = 64 * (-(-n // 64))
             ll = (jnp.arange(LAT, dtype=jnp.float32) + 0.5) / LAT * (n - 1)
-            return jnp.clip(jnp.round(ll).astype(jnp.int32), 0, n - 1)
+            return jnp.clip(jnp.round(ll).astype(jnp.int32), 0, n - 1), \
+                LAT // 64
 
-        a256 = a[lat(X)][:, lat(Y)][:, :, lat(Z)]
-        big = jnp.float32(3.4e38)
+        (ix, px), (iy, py), (iz, pz) = lat(X), lat(Y), lat(Z)
+        a256 = a[ix][:, iy][:, :, iz]
         mn = -jax.lax.reduce_window(
-            -a256, -big, jax.lax.max, (4, 4, 4), (4, 4, 4), "VALID"
+            -a256, -big, jax.lax.max, (px, py, pz), (px, py, pz), "VALID"
         )
         mx = jax.lax.reduce_window(
-            a256, -big, jax.lax.max, (4, 4, 4), (4, 4, 4), "VALID"
+            a256, -big, jax.lax.max, (px, py, pz), (px, py, pz), "VALID"
         )
         band = jnp.float32(self.surf_band_factor) / s_val
         ok = ((mn <= band) & (mx >= -band)).astype(jnp.float32)
