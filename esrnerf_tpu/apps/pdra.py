@@ -428,7 +428,54 @@ class PDRA(LTS):
         w = self.eval_weight_lts
         s_val = float(payload["renderer"]["s_val"])
 
-        if not hasattr(self, "_ft_step"):
+        # the SDF is frozen during the fine-tune, so the per-step primary
+        # march is a pure function of the ray: precompute each edit ray's
+        # surviving samples ONCE and ride them as extra sampler keys (the
+        # reference re-marches every one of its eval_niters steps). Gated
+        # by app.eval.cache_march (default on); per-ray slots capped at
+        # app.eval.cache_march_ppr samples (excess dropped, logged).
+        ft_cached = bool(self.cfg.app["eval"].get("cache_march", True))
+        if ft_cached:
+            ppr = int(self.cfg.app["eval"].get("cache_march_ppr", 16))
+            sdf_frozen = frozen["sdf"]
+            slot_fn = self.cached_jit("ft_slots", lambda: jax.jit(
+                lambda sdf, ro, rd, vd: model.geo.march_ray_slots(
+                    sdf, ro, rd, vd, jnp.float32(s_val),
+                    model.fastcolor_thres, model.neus_alpha, ppr,
+                )
+            ))
+            chunk = 4096
+            dropped = []
+            for pool in (sampler.uncert_data, sampler.cert_data):
+                n = len(pool["rays_o"])
+                pts_l, ok_l = [], []
+                for st in range(0, n, chunk):
+                    en = min(st + chunk, n)
+                    pad = chunk - (en - st)
+                    ro, rd, vd = (
+                        np.concatenate([pool[k][st:en], pool[k][en - 1:en]
+                                        .repeat(pad, 0)], 0)
+                        if pad else pool[k][st:en]
+                        for k in ("rays_o", "rays_d", "viewdirs")
+                    )
+                    p, ok, drop = slot_fn(sdf_frozen, jnp.asarray(ro),
+                                          jnp.asarray(rd), jnp.asarray(vd))
+                    pts_l.append(np.asarray(p[:en - st]))
+                    ok_l.append(np.asarray(ok[:en - st]))
+                    dropped.append(float(drop))
+                pool["ft_pts"] = (np.concatenate(pts_l, 0) if pts_l
+                                  else np.zeros((0, ppr, 3), np.float32))
+                pool["ft_valid"] = (np.concatenate(ok_l, 0) if ok_l
+                                    else np.zeros((0, ppr), bool))
+            if dropped and max(dropped) > 0:
+                print(f"[relight finetune] march cache dropped up to "
+                      f"{max(dropped):.3f} of samples/ray (raise "
+                      "app.eval.cache_march_ppr to keep more)")
+            for k in ("ft_pts", "ft_valid"):
+                if k not in sampler.keys:
+                    sampler.keys = list(sampler.keys) + [k]
+
+        if getattr(self, "_ft_step_cached", None) != ft_cached:
             @functools.partial(jax.jit, donate_argnums=(0, 1))
             def ft_step(params, opt_state, frozen, batch, rng):
                 def loss_fn(p):
@@ -437,6 +484,8 @@ class PDRA(LTS):
                         batch["viewdirs"], batch["em_modes"],
                         batch["em_intensities"], batch["em_colors"],
                         jnp.float32(s_val), rng,
+                        ft_pts=batch.get("ft_pts"),
+                        ft_valid=batch.get("ft_valid"),
                     )
                     return w * masked_mse(
                         res["lin/pbr/emo"], res["lin/pbr/emo_hat"],
@@ -448,6 +497,7 @@ class PDRA(LTS):
                 return params, opt_state, loss
 
             self._ft_step = ft_step
+            self._ft_step_cached = ft_cached
 
         key = jax.random.PRNGKey(self.cfg.system["seed"])
         losses = []

@@ -562,6 +562,7 @@ class ESRNeRF(VoxurfF):
     def forward_finetune(
         self, params: Params, frozen: Params, rays_o, rays_d, viewdirs,
         em_modes, em_intensities, em_colors, s_val, rng,
+        ft_pts=None, ft_valid=None,
     ) -> Dict[str, jnp.ndarray]:
         """Relighting fine-tune forward (reference esrnerf.py:241-484).
 
@@ -569,24 +570,43 @@ class ESRNeRF(VoxurfF):
         emo_rgbnet); ``frozen`` holds everything else including the
         ``emit_color`` snapshot. Only ``lin/pbr/emo`` carries gradients; the
         edited target ``lin/pbr/emo_hat`` is fully stop-gradiented.
+
+        ``ft_pts``/``ft_valid`` ([B, ppr, 3] / [B, ppr]): per-ray surviving
+        march samples precomputed against the FROZEN sdf
+        (``VoxurfGeometry.march_ray_slots``) — the per-step primary march
+        (which the reference re-runs all eval_niters times) is skipped and
+        surface points are selected uniformly from the same surviving set.
         """
         geo = self.geo
         full = {**frozen, **params}
         k_sel, k_scat = jax.random.split(rng)
-
-        m = geo.march(
-            full["sdf"], rays_o, rays_d, viewdirs, s_val,
-            self.fastcolor_thres, self.neus_alpha, style="fine",
-        )
-        rid = jnp.minimum(m.ray_id, m.n_rays - 1)
-        sel, valid = self._select_lts_points(k_sel, m, self.num_ltspts)
-        pts = m.pts[sel]
-        P = pts.shape[0]
         n2 = self.num_2ndrays
-        vd = viewdirs[rid[sel]]
-        modes = em_modes[rid[sel]]
-        intens = em_intensities[rid[sel]]
-        colors = em_colors[rid[sel]]
+
+        if ft_pts is not None:
+            B, ppr = ft_valid.shape
+            flat_pts = ft_pts.reshape(B * ppr, 3)
+            flat_ok = ft_valid.reshape(B * ppr)
+            scores = jax.random.uniform(k_sel, (B * ppr,))
+            scores = jnp.where(flat_ok, scores, 2.0)
+            _, sel = jax.lax.top_k(-scores, self.num_ltspts)
+            sel = jnp.sort(sel)
+            valid = flat_ok[sel]
+            pts = flat_pts[sel]
+            rid_sel = sel // ppr
+        else:
+            m = geo.march(
+                full["sdf"], rays_o, rays_d, viewdirs, s_val,
+                self.fastcolor_thres, self.neus_alpha, style="fine",
+            )
+            rid = jnp.minimum(m.ray_id, m.n_rays - 1)
+            sel, valid = self._select_lts_points(k_sel, m, self.num_ltspts)
+            pts = m.pts[sel]
+            rid_sel = rid[sel]
+        P = pts.shape[0]
+        vd = viewdirs[rid_sel]
+        modes = em_modes[rid_sel]
+        intens = em_intensities[rid_sel]
+        colors = em_colors[rid_sel]
 
         sdf, exp_grad = self.sample_sdf_expgrad(full["sdf"], pts)
         sdf = jax.lax.stop_gradient(sdf)
@@ -600,9 +620,13 @@ class ESRNeRF(VoxurfF):
         vd_rand = -dirs_all[:, -1]
         dirs = dirs_all[:, :-1]
 
-        # surface emo radiance (the only grad-carrying branch)
+        # surface emo radiance (the only grad-carrying branch). n_valid's
+        # pad-tail contract only holds for the march's selection (pads sort
+        # to the end); cached slots interleave, so skip the chunk-skip there
+        # (the selected set is tiny — small-M XLA gathers either way)
         feat6, _, normals6 = geo.sample_sdfeat_grad_normal(
-            full["sdf"], pts, self.grad_feat, valid.sum()
+            full["sdf"], pts, self.grad_feat,
+            valid.sum() if ft_pts is None else None,
         )
         xyz_emb = self._xyz_emb_full(pts)
         viewfreq = jnp.asarray([2.0**i for i in range(self.viewbase_pe)])

@@ -537,6 +537,48 @@ class VoxurfGeometry:
             k2_frac=n2.astype(jnp.float32) / K2,
         )
 
+    def march_ray_slots(
+        self, sdf_grid_smooth, rays_o, rays_d, viewdirs, s_val,
+        fastcolor_thres, neus_alpha, ppr: int,
+    ):
+        """March once and regroup the surviving samples per ray:
+        ``(pts [N, ppr, 3], valid [N, ppr], dropped_frac [])``.
+
+        For the relighting fine-tune (PDRA eval) the SDF is frozen, so the
+        march is a pure function of the ray — precomputing these slots once
+        per test image removes the per-step primary march entirely (the
+        reference re-marches every one of its eval_niters=20k steps,
+        reference pdra.py:1047-1109 + esrnerf.py:241-484). Rays with more
+        than ``ppr`` surviving samples drop the excess (reported in
+        dropped_frac; slots are filled in cell-sorted march order).
+        """
+        m = self.march(
+            sdf_grid_smooth, rays_o, rays_d, viewdirs, s_val,
+            fastcolor_thres, neus_alpha, style="fine",
+        )
+        N = m.n_rays
+        K = m.pts.shape[0]
+        # group rows by ray (stable keeps cell order within a ray; pads
+        # carry ray_id == N and land at the end)
+        order = jnp.argsort(m.ray_id, stable=True)
+        rid_s = jnp.take(m.ray_id, order)
+        pts_s = jnp.take(m.pts, order, axis=0)
+        pad_s = jnp.take(m.pad, order)
+        starts = jnp.searchsorted(rid_s, jnp.arange(N))
+        rank = jnp.arange(K) - starts[jnp.minimum(rid_s, N - 1)]
+        ok = ~pad_s & (rank < ppr)
+        tgt = jnp.where(ok, rid_s * ppr + jnp.clip(rank, 0, ppr - 1),
+                        N * ppr)  # dump row
+        pts_slots = jnp.zeros((N * ppr + 1, 3), jnp.float32).at[tgt].set(
+            pts_s
+        )[:-1].reshape(N, ppr, 3)
+        valid = jnp.zeros((N * ppr + 1,), bool).at[tgt].set(ok)[:-1]
+        n_real = (~pad_s).sum()
+        dropped = (n_real - ok.sum()).astype(jnp.float32) / jnp.maximum(
+            n_real, 1
+        )
+        return pts_slots, valid.reshape(N, ppr), dropped
+
     def segment_to_rays(self, march: March, values: jnp.ndarray) -> jnp.ndarray:
         """Weighted scatter-sum of per-point values back to rays: the dense
         replacement for torch_scatter.segment_coo (voxurfc.py:253-265)."""

@@ -178,3 +178,40 @@ def test_surf_band_cull_parity(geo):
     n_band = int((rs.valid & geo.query_nearest64(occ, rs.pts)).sum())
     n_plain = int((rs.valid & geo.mask_cache.query_nearest(rs.pts)).sum())
     assert n_band < n_plain
+
+
+def test_march_ray_slots_regroups_march(geo):
+    """march_ray_slots == the march's surviving rows grouped per ray (the
+    relight fine-tune precompute must be a pure re-layout)."""
+    rng = np.random.default_rng(5)
+    X = Y = Z = 20
+    x, y, z = np.mgrid[-1:1:X * 1j, -1:1:Y * 1j, -1:1:Z * 1j]
+    sdf = ((x**2 + y**2 + z**2) ** 0.5 - 0.6).astype(np.float32)[..., None]
+    sdf_j = jnp.asarray(sdf)
+    o, d, vd = random_rays(32, seed=6)
+    ppr = 24
+
+    m = geo.march(sdf_j, o, d, vd, 80.0, 1e-4, "interp", style="fine")
+    pts, valid, dropped = geo.march_ray_slots(
+        sdf_j, o, d, vd, 80.0, 1e-4, "interp", ppr
+    )
+    assert pts.shape == (32, ppr, 3) and valid.shape == (32, ppr)
+
+    rid = np.asarray(m.ray_id)
+    mpts = np.asarray(m.pts)
+    pad = np.asarray(m.pad)
+    got_p, got_v = np.asarray(pts), np.asarray(valid)
+    total_dropped = 0
+    for r in range(32):
+        rows = mpts[(rid == r) & ~pad]
+        n = min(len(rows), ppr)
+        total_dropped += max(len(rows) - ppr, 0)
+        assert got_v[r, :n].all() and not got_v[r, n:].any(), r
+        # same point SET per ray (slot order = cell-sorted march order)
+        np.testing.assert_allclose(
+            np.sort(got_p[r, :n], axis=0), np.sort(rows[:n], axis=0),
+            rtol=1e-6, atol=1e-6,
+        )
+    n_real = int((~pad).sum())
+    want_drop = total_dropped / max(n_real, 1)
+    np.testing.assert_allclose(float(dropped), want_drop, atol=1e-6)
