@@ -390,6 +390,9 @@ class Coarse(AppClass):
                     jnp.asarray(data["viewdirs"][st:en]),
                     jnp.int32(em), pos_rt, jnp.float32(s_val),
                 )
+                ovf = out.pop("etc/overflow", None)
+                if ovf is not None:
+                    self.track_overflow(ovf)
                 for k, v in out.items():
                     results.setdefault(k, []).append(np.asarray(v))
 

@@ -407,6 +407,9 @@ class Fine(AppClass):
                     jnp.asarray(data["viewdirs"][st:en]),
                     jnp.int32(em), pos_rt, jnp.float32(s_val),
                 )
+                ovf = out.pop("etc/overflow", None)
+                if ovf is not None:
+                    self.track_overflow(ovf)
                 pbr_pts = out.pop("pbr_points", None)
                 if pbr_pts is not None:
                     out.update(

@@ -578,6 +578,9 @@ class PDRA(LTS):
                     jnp.int32(1), pos_rt, jnp.float32(s_val),
                 )
                 out.pop("pbr_points", None)
+                ovf = out.pop("etc/overflow", None)
+                if ovf is not None:
+                    self.track_overflow(ovf)
                 for k, v in out.items():
                     results.setdefault(k, []).append(np.asarray(v))
 

@@ -491,6 +491,7 @@ class ESRNeRF(VoxurfF):
                 "metallic": metallic, "emit": emit, "ray_id": m.ray_id,
                 "weights": m.weights, "pad": m.pad,
             }
+        out["etc/overflow"] = m.overflow  # scalar: eval loops pop + track
         return out
 
     def lts_eval_chunk(

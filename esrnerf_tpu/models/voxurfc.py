@@ -204,6 +204,8 @@ class VoxurfC:
             "srgb/emo_rgb": emo_m,
             "srgb/on_rgb": on_m,
             "srgb/rgb": rgb_m,
+            # scalar: eval loops pop + track it (budget alarms at eval too)
+            "etc/overflow": m.overflow,
         }
 
     # -------------------------------------------------------------- TV losses

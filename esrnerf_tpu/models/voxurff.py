@@ -263,6 +263,7 @@ class VoxurfF:
                 "lin/rgb": jnp.where(is_off, out["lin/off_rgb"], out["lin/on_rgb"]),
             }
         )
+        out["etc/overflow"] = m.overflow  # scalar: eval loops pop + track it
         return out
 
     # ---------------------------------------------------------------- losses
