@@ -154,3 +154,112 @@ def test_full_state_dict_roundtrip(ref_pbr):
     assert params["brdfnet"]["w2"].shape[1] == 5  # disney 3/1/1 split
     assert params["emitnet"]["w2"].shape[1] == 3
     assert params["envmap"]["mus"].shape == (8, 3)
+
+
+def test_full_checkpoint_import_runs_forward(ref_pbr, tmp_path):
+    """A complete reference-style torch checkpoint imports and drives OUR
+    ESRNeRF forward_evaluate end to end (key names, shapes, meta)."""
+    import jax
+    from esrnerf_tpu.config import load_cfg
+    from esrnerf_tpu.models.esrnerf import ESRNeRF
+    from esrnerf_tpu.models.voxurf_base import make_mask_cache
+    from esrnerf_tpu.utils import checkpoint as ckpt_io
+    from esrnerf_tpu.utils.import_torch_ckpt import convert_checkpoint
+
+    REPO_ = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_cfg(
+        "cfg/app/lts.yaml",
+        ["app.phase=train", "data.cls=esrnerf.ESRNeRF", "data.root=x",
+         "data.scene=x", "app.model.num_2ndrays=4",
+         "app.model.num_ltspts=8", "app.model.points_budget_per_2ndray=8",
+         "app.model.rgbnet_width=16", "app.model.rgbnet_depth=3",
+         "app.model.tonemap_width=8", "app.model.tonemap_depth=2",
+         "app.model.brdfnet_width=16", "app.model.brdfnet_depth=3",
+         "app.model.env_sg=8"],
+        root_dir=REPO_,
+    )
+    # build OUR model first to learn the true input dims
+    density = np.where(
+        np.linalg.norm(np.mgrid[-1:1:8j, -1:1:8j, -1:1:8j], axis=0) < 0.7,
+        20.0, -20.0,
+    ).astype(np.float32)[..., None]
+    mask_cache = make_mask_cache(density, [-1, -1, -1], [1, 1, 1], 1e-6,
+                                 1e-3, 3)
+    model = ESRNeRF(cfg, 0.5, 4.0, [-1, -1, -1], [1, 1, 1], mask_cache,
+                    s_val=80.0, num_voxels=1000)
+    ours0 = model.init_params(jax.random.PRNGKey(0))
+    X, Y, Z = model.geo.world_size
+    C = model.color_dim
+
+    # synthesize the reference state_dict at exactly these dims
+    torch.manual_seed(7)
+    state = {"sdf.grid": torch.randn(1, 1, X, Y, Z) * 0.1}
+    for g in ("off_color", "emo_color", "brdf"):
+        state[f"{g}.grid"] = torch.randn(1, C, X, Y, Z) * 0.1
+    dim0 = int(ours0["off_rgbnet"]["w0"].shape[0])
+    for pref in ("off_rgbnet", "emo_rgbnet"):
+        net = ref_pbr.RadianceNet(dim0, 16, 3)
+        for k, v in net.state_dict().items():
+            state[f"{pref}.{k}"] = v
+    tdim = int(ours0["tonemapper"]["w0"].shape[0])
+    tm = ref_pbr.TonemapNet(tdim, 8, 2)
+    for k, v in tm.state_dict().items():
+        state[f"tonemapper.{k}"] = v
+    bdim = int(ours0["brdfnet"]["w0"].shape[0])
+    bn = ref_pbr.BRDFNet(bdim, 16, 3, mode=object())
+    en = ref_pbr.EmissionNet(bdim, 16, 3)
+    for k, v in bn.state_dict().items():
+        state[f"brdfnet.{k}"] = v
+    for k, v in en.state_dict().items():
+        state[f"emitnet.{k}"] = v
+    sg = ref_pbr.SphericalGaussian(8, "softplus")
+    state["envmap.mus"], state["envmap.lambdas"] = sg.mus, sg.lambdas
+    state["envmap.lobes"] = sg.lobes
+
+    ref_ckpt = {
+        "renderer": {
+            "cfg": None, "near": 0.5, "far": 4.0,
+            "xyz_min": torch.tensor([-1.0, -1.0, -1.0]),
+            "xyz_max": torch.tensor([1.0, 1.0, 1.0]),
+            "mask_xyz_min": torch.tensor([-1.0, -1.0, -1.0]),
+            "mask_xyz_max": torch.tensor([1.0, 1.0, 1.0]),
+            "mask_alpha_init": 1e-6,
+            "mask_density": torch.from_numpy(
+                density.transpose(3, 0, 1, 2)[None]
+            ),
+            "s_val": 80.0, "num_voxels": 1000,
+            "params": state,
+        },
+        "trainer": {"global_step": 1234,
+                    "batch_st": np.int64(77),
+                    "data_idxs": np.arange(10)},
+    }
+    src = os.path.join(str(tmp_path), "fine.LTS-last.ckpt")
+    torch.save(ref_ckpt, src)
+
+    # through the CLI machinery (torch.load + convert + our ckpt writer)
+    loaded = torch.load(src, map_location="cpu", weights_only=False)
+    payload = convert_checkpoint(loaded, "esrnerf")
+    dst = os.path.join(str(tmp_path), "imported.ckpt")
+    ckpt_io.save_checkpoint(dst, payload)
+    back = ckpt_io.load_checkpoint(dst)
+    assert back["trainer"]["global_step"] == 1234
+    assert float(back["renderer"]["s_val"]) == 80.0
+
+    # imported params drive our forward (pytree must match init_params)
+    params = jax.tree.map(jnp.asarray, back["renderer"]["params"])
+    assert set(params) == set(ours0)
+    for k in ours0:
+        a, b = jax.tree.leaves(params[k]), jax.tree.leaves(ours0[k])
+        assert [x.shape for x in a] == [y.shape for y in b], k
+    rng = np.random.default_rng(9)
+    o = rng.normal(size=(16, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2
+    d = (-o + rng.normal(scale=0.2, size=(16, 3))).astype(np.float32)
+    vd = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    out = model.forward_evaluate(
+        params, jnp.asarray(o), jnp.asarray(d), jnp.asarray(vd),
+        jnp.int32(0), jnp.eye(3), jnp.float32(80.0),
+    )
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
