@@ -196,11 +196,12 @@ class LTS(Fine):
                     p, smooth_grad_tv
                 ) / sh.n
                 return loss, (mse, lin_mse, off_l, emo_l, res["etc/overflow"],
-              res["etc/k1_frac"], res["etc/k2_frac"])
+              res["etc/k1_frac"], res["etc/k2_frac"],
+              res["etc/k1_frac_2nd"], res["etc/k2_frac_2nd"])
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = sh.gsum(grads)
-            mse, lin_mse, off_l, emo_l, ovf, k1f, k2f = aux
+            mse, lin_mse, off_l, emo_l, ovf, k1f, k2f, k1f2, k2f2 = aux
             tv_dense_g = model.sdf_tv_grad(params["sdf"], sdf_tv_w)
             tv_sparse_g = model.sdf_tv_grad(
                 params["sdf"], sdf_tv_w, sparse_grad=grads["sdf"]
@@ -213,7 +214,8 @@ class LTS(Fine):
             )
             return params, opt_state, (mse, lin_mse, off_l, emo_l,
                                        sh.gmax(ovf), sh.gmax(k1f),
-                                       sh.gmax(k2f))
+                                       sh.gmax(k2f), sh.gmax(k1f2),
+                                       sh.gmax(k2f2))
 
         return self.wrap_train_step(train_step)
 
@@ -254,7 +256,7 @@ class LTS(Fine):
                 ),
                 jnp.bool_(self.global_step < self.tv_dense_before), sub,
             )
-            mse, lin_mse, off_l, emo_l, ovf, k1f, k2f = aux
+            mse, lin_mse, off_l, emo_l, ovf, k1f, k2f, k1f2, k2f2 = aux
 
             decay = self.lr_scheduler.decay_factor
             for k in self.lr_scales:
@@ -282,6 +284,8 @@ class LTS(Fine):
                 means["etc/overflow"] = self.track_overflow(ovf)
                 means["etc/k1_frac"] = float(k1f)
                 means["etc/k2_frac"] = float(k2f)
+                means["etc/k1_frac_2nd"] = float(k1f2)
+                means["etc/k2_frac_2nd"] = float(k2f2)
                 logger.log(
                     {f"train/metric/{k}": v for k, v in means.items()},
                     step=self.global_step,
@@ -378,6 +382,9 @@ class LTS(Fine):
                 pbr_pts["normal"][sl], pbr_pts["basecolor"][sl],
                 pbr_pts["roughness"][sl], pbr_pts["metallic"][sl], s_val,
             )
+            ovf = out.pop("etc/overflow", None)
+            if ovf is not None:
+                self.track_overflow(ovf)
             for k, v in out.items():
                 parts.setdefault(k, []).append(np.asarray(v))
 

@@ -258,11 +258,12 @@ class PDRA(LTS):
                     p, smooth_grad_tv
                 ) / sh.n
                 return loss, (mse, lin_mse, off_l, emo_l, res["etc/overflow"],
-              res["etc/k1_frac"], res["etc/k2_frac"])
+              res["etc/k1_frac"], res["etc/k2_frac"],
+              res["etc/k1_frac_2nd"], res["etc/k2_frac_2nd"])
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = sh.gsum(grads)
-            mse, lin_mse, off_l, emo_l, ovf, k1f, k2f = aux
+            mse, lin_mse, off_l, emo_l, ovf, k1f, k2f, k1f2, k2f2 = aux
             tv_dense_g = model.sdf_tv_grad(params["sdf"], sdf_tv_w)
             tv_sparse_g = model.sdf_tv_grad(
                 params["sdf"], sdf_tv_w, sparse_grad=grads["sdf"]
@@ -275,7 +276,8 @@ class PDRA(LTS):
             )
             return params, opt_state, (mse, lin_mse, off_l, emo_l,
                                        sh.gmax(ovf), sh.gmax(k1f),
-                                       sh.gmax(k2f))
+                                       sh.gmax(k2f), sh.gmax(k1f2),
+                                       sh.gmax(k2f2))
 
         return self.wrap_train_step(train_step)
 
@@ -458,19 +460,24 @@ class PDRA(LTS):
                         if pad else pool[k][st:en]
                         for k in ("rays_o", "rays_d", "viewdirs")
                     )
-                    p, ok, drop = slot_fn(sdf_frozen, jnp.asarray(ro),
-                                          jnp.asarray(rd), jnp.asarray(vd))
+                    p, ok, (cnt, drop) = slot_fn(
+                        sdf_frozen, jnp.asarray(ro), jnp.asarray(rd),
+                        jnp.asarray(vd))
                     pts_l.append(np.asarray(p[:en - st]))
                     ok_l.append(np.asarray(ok[:en - st]))
-                    dropped.append(float(drop))
+                    # real rays only: the chunk tail is padded with copies
+                    # of one ray, which must not dominate the diagnostic
+                    c = np.asarray(cnt[:en - st], np.float64)
+                    d = np.asarray(drop[:en - st], np.float64)
+                    dropped.append(d.sum() / max(c.sum(), 1.0))
                 pool["ft_pts"] = (np.concatenate(pts_l, 0) if pts_l
                                   else np.zeros((0, ppr, 3), np.float32))
                 pool["ft_valid"] = (np.concatenate(ok_l, 0) if ok_l
                                     else np.zeros((0, ppr), bool))
             if dropped and max(dropped) > 0:
-                print(f"[relight finetune] march cache dropped up to "
-                      f"{max(dropped):.3f} of samples/ray (raise "
-                      "app.eval.cache_march_ppr to keep more)")
+                print(f"[relight finetune] march cache dropped "
+                      f"{max(dropped):.3f} of real samples in its worst "
+                      "chunk (raise app.eval.cache_march_ppr to keep more)")
             for k in ("ft_pts", "ft_valid"):
                 if k not in sampler.keys:
                     sampler.keys = list(sampler.keys) + [k]
@@ -487,14 +494,17 @@ class PDRA(LTS):
                         ft_pts=batch.get("ft_pts"),
                         ft_valid=batch.get("ft_valid"),
                     )
-                    return w * masked_mse(
+                    loss = w * masked_mse(
                         res["lin/pbr/emo"], res["lin/pbr/emo_hat"],
                         res["lin/pbr/valid"],
                     )
+                    return loss, res["etc/overflow"]
 
-                loss, grads = jax.value_and_grad(loss_fn)(params)
+                (loss, ovf), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
                 params, opt_state = opt.step(params, grads, opt_state)
-                return params, opt_state, loss
+                return params, opt_state, loss, ovf
 
             self._ft_step = ft_step
             self._ft_step_cached = ft_cached
@@ -504,9 +514,10 @@ class PDRA(LTS):
         for it in self.tqdm(range(self.eval_niters), desc="finetune", leave=False):
             batch = {k: jnp.asarray(v) for k, v in sampler.sample().items()}
             key, sub = jax.random.split(key)
-            trainable, opt_state, loss = self._ft_step(
+            trainable, opt_state, loss, ovf = self._ft_step(
                 trainable, opt_state, frozen, batch, sub
             )
+            self.track_overflow(ovf)
             losses.append(float(loss))
 
         self.params = {**frozen, **trainable}

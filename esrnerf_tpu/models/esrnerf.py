@@ -404,11 +404,14 @@ class ESRNeRF(VoxurfF):
             ),
             "etc/point_valid": pt_valid,
             # the secondary march has its own (much smaller) budgets: its
-            # overflow must trip the same alarms as the primary's, and its
-            # utilizations drive the *_per_2ndray budget sizing
+            # overflow must trip the same alarms as the primary's, while its
+            # utilizations stay SEPARATE so budget_advisor can attribute
+            # them to the *_per_2ndray budgets
             "etc/overflow": jnp.maximum(m.overflow, lts["sec_stats"][0]),
-            "etc/k1_frac": jnp.maximum(m.k1_frac, lts["sec_stats"][1]),
-            "etc/k2_frac": jnp.maximum(m.k2_frac, lts["sec_stats"][2]),
+            "etc/k1_frac": m.k1_frac,
+            "etc/k2_frac": m.k2_frac,
+            "etc/k1_frac_2nd": lts["sec_stats"][1],
+            "etc/k2_frac_2nd": lts["sec_stats"][2],
         }
 
     # ------------------------------------------------------------ evaluation
@@ -512,7 +515,7 @@ class ESRNeRF(VoxurfF):
             flat(basecolor), flat(roughness, 1), flat(metallic, 1),
             flat(normal), dirs.reshape(K * n2, 3), -flat(viewdirs_pt),
         )
-        inc, alphainv_last, _ = self._secondary_radiance(
+        inc, alphainv_last, sec_stats = self._secondary_radiance(
             params, flat(pts), dirs.reshape(K * n2, 3), s_val
         )
         env = self.envmap_eval(params, dirs.reshape(K * n2, 3))
@@ -529,6 +532,9 @@ class ESRNeRF(VoxurfF):
             "lin/env_indir": env_indir,
             "lin/env_effects": env_dir + env_indir,
             "lin/emit_(in)dir": emit_indir,
+            # scalar: the secondary march has its own budgets — callers pop
+            # and track it so eval-time drops are not silent
+            "etc/overflow": sec_stats[0],
         }
 
     # ------------------------------------------------------- emission probes
@@ -669,7 +675,7 @@ class ESRNeRF(VoxurfF):
             jnp.tile(dirs.reshape(P * n2, 3), (2, 1)),
             jnp.concatenate([-flat(vd), -flat(vd_rand)], 0),
         )
-        inc, _, _ = self._secondary_radiance(
+        inc, _, ft_sec_stats = self._secondary_radiance(
             full, flat(pts), dirs.reshape(P * n2, 3), s_val, heads=("emo",)
         )
         lin_emo_in = tgt(inc["emo"])
@@ -693,4 +699,5 @@ class ESRNeRF(VoxurfF):
             "lin/pbr/emo": emo,
             "lin/pbr/emo_hat": tgt(emo_hat),
             "lin/pbr/valid": jnp.tile(valid, 2),
+            "etc/overflow": ft_sec_stats[0],
         }

@@ -21,6 +21,16 @@ import jax.numpy as jnp
 MLPParams = Dict[str, jnp.ndarray]
 
 
+def mlp_dtype_from_cfg(cfg):
+    """MXU compute dtype for the renderer heads from system.compute_dtype:
+    bf16 matmuls with fp32 master params + fp32 accumulate (default; the
+    reference's torch Linears run TF32 on Ampere, so reduced-precision
+    compute is the parity norm — pipeline-e2e PSNR thresholds gate it).
+    'float32' disables."""
+    val = str(cfg.system.get("compute_dtype") or "bfloat16")
+    return jnp.bfloat16 if val == "bfloat16" else None
+
+
 def init_mlp(
     key: jax.Array,
     dims: Sequence[int],

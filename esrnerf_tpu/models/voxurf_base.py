@@ -542,7 +542,7 @@ class VoxurfGeometry:
         fastcolor_thres, neus_alpha, ppr: int,
     ):
         """March once and regroup the surviving samples per ray:
-        ``(pts [N, ppr, 3], valid [N, ppr], dropped_frac [])``.
+        ``(pts [N, ppr, 3], valid [N, ppr], (counts [N], dropped [N]))``.
 
         For the relighting fine-tune (PDRA eval) the SDF is frozen, so the
         march is a pure function of the ray — precomputing these slots once
@@ -573,11 +573,15 @@ class VoxurfGeometry:
             pts_s
         )[:-1].reshape(N, ppr, 3)
         valid = jnp.zeros((N * ppr + 1,), bool).at[tgt].set(ok)[:-1]
-        n_real = (~pad_s).sum()
-        dropped = (n_real - ok.sum()).astype(jnp.float32) / jnp.maximum(
-            n_real, 1
-        )
-        return pts_slots, valid.reshape(N, ppr), dropped
+        # per-ray survivor/drop counts so callers can exclude any rays they
+        # padded the batch with (a scalar fraction over a padded chunk can
+        # be dominated by copies of one worst-case ray)
+        counts = jax.ops.segment_sum(
+            (~pad_s).astype(jnp.int32), jnp.minimum(rid_s, N),
+            num_segments=N + 1,
+        )[:N]
+        dropped = jnp.maximum(counts - ppr, 0)
+        return pts_slots, valid.reshape(N, ppr), (counts, dropped)
 
     def segment_to_rays(self, march: March, values: jnp.ndarray) -> jnp.ndarray:
         """Weighted scatter-sum of per-point values back to rays: the dense

@@ -37,15 +37,7 @@ class VoxurfC:
         # coarse.py:426-436)
         self.mask_meta = mask_meta or {}
         m = cfg.app.model
-        # bf16 MLP matmuls on the MXU (fp32 master params + fp32
-        # accumulate): the reference's torch Linears run TF32 on
-        # Ampere, so a reduced-precision compute path is the parity
-        # norm; PSNR thresholds in the pipeline e2e gate it
-        self.mlp_dtype = (
-            jnp.bfloat16
-            if str(cfg.system.get("compute_dtype")
-                   or "bfloat16") == "bfloat16" else None
-        )
+        self.mlp_dtype = mlpops.mlp_dtype_from_cfg(cfg)
         self.geo = VoxurfGeometry(cfg, near, far, xyz_min, xyz_max, mask_cache)
         self.s_val = float(s_val)
 

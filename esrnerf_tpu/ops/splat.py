@@ -367,6 +367,8 @@ _GCAP = 98304        # table rows resident per piece (covers YZ+Z+1 @ 256^3)
 # raw C=1 tap gathers can afford much taller pieces in VMEM (rows are 4 B);
 # fewer pieces amortize whatever the measured ~1.4 ms/piece fixed cost is
 _GCAP_RAW = int(__import__("os").environ.get("ESR_GATHER_PIECE_RAW", 98304))
+# misaligned pieces would shift every tap in pieces p>=1 by gcap %% 128 rows
+assert _GCAP_RAW % _GROUP == 0, "ESR_GATHER_PIECE_RAW must be a multiple of 128"
 # Below this many points the plain XLA row gather wins outright: the kernel's
 # cost scales with the chunk's table span (a *scattered* 2048-point set — the
 # LTS surface points — spans the whole 16.7M-row grid: ~170 piece sweeps,

@@ -61,7 +61,7 @@ def fsdp_param_sharding(mesh: Mesh, x, axis: str = "data") -> NamedSharding:
     (a transient), and reduce-scatters its gradient — the persistent
     footprint drops by the shard count. Numerics are unchanged (all-gather
     is exact; grad reduction order is XLA's either way)."""
-    n = int(np.prod(mesh.devices.shape))
+    n = int(mesh.shape[axis])
     if getattr(x, "ndim", 0) >= 3 and x.shape[0] % max(n, 1) == 0 and n > 1:
         return NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
     return NamedSharding(mesh, P())

@@ -55,9 +55,16 @@ _MLPS = {
 }
 
 KINDS = ("dvgo", "voxurfc", "voxurff", "esrnerf")
-# reference stage class name fragments -> model kind
-STAGE_KINDS = {"AlphaMask": "dvgo", "Coarse": "voxurfc", "Fine": "voxurff",
-               "LTS": "esrnerf", "PDRA": "esrnerf"}
+# reference stage class name fragments -> model kind, matched most-specific
+# first ("fine.LTS" contains "fine" — a bare-substring scan would import
+# LTS/PDRA checkpoints as voxurff and silently drop brdf/emit/envmap)
+STAGE_KINDS = (
+    ("fine.lts", "esrnerf"), ("fine.pdra", "esrnerf"),
+    ("lts", "esrnerf"), ("pdra", "esrnerf"),
+    ("alphamask", "dvgo"),
+    ("coarse.coarse", "voxurfc"), ("coarse", "voxurfc"),
+    ("fine", "voxurff"),
+)
 
 
 def _np(x) -> np.ndarray:

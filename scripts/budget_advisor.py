@@ -27,7 +27,8 @@ def scan(path):
             except json.JSONDecodeError:
                 continue
     out = {}
-    for key in ("etc/k1_frac", "etc/k2_frac", "etc/overflow"):
+    for key in ("etc/k1_frac", "etc/k2_frac", "etc/k1_frac_2nd",
+                "etc/k2_frac_2nd", "etc/overflow"):
         vals = [r[f"train/metric/{key}"] for r in rows
                 if f"train/metric/{key}" in r]
         if vals:
@@ -56,8 +57,11 @@ def main():
         if ovf is not None and ovf.max() > 0:
             print(f"  OVERFLOW seen (max {ovf.max():.4f}) — budgets are too"
                   " SMALL; raise before trusting the numbers below.")
-        for key, name in (("etc/k1_frac", "points_budget_masked_*"),
-                          ("etc/k2_frac", "points_budget_*")):
+        for key, name in (
+                ("etc/k1_frac", "points_budget_masked_per_ray"),
+                ("etc/k2_frac", "points_budget_per_ray"),
+                ("etc/k1_frac_2nd", "points_budget_masked_per_2ndray"),
+                ("etc/k2_frac_2nd", "points_budget_per_2ndray")):
             v = stats.get(key)
             if v is None:
                 continue

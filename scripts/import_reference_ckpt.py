@@ -31,8 +31,9 @@ def main():
 
     kind = sys.argv[3] if len(sys.argv) > 3 else None
     if kind is None:
-        for frag, k in STAGE_KINDS.items():
-            if frag.lower() in src.lower():
+        low = src.lower()
+        for frag, k in STAGE_KINDS:
+            if frag in low:
                 kind = k
                 break
     if kind is None:

@@ -192,7 +192,7 @@ def test_march_ray_slots_regroups_march(geo):
     ppr = 24
 
     m = geo.march(sdf_j, o, d, vd, 80.0, 1e-4, "interp", style="fine")
-    pts, valid, dropped = geo.march_ray_slots(
+    pts, valid, (counts, dropped) = geo.march_ray_slots(
         sdf_j, o, d, vd, 80.0, 1e-4, "interp", ppr
     )
     assert pts.shape == (32, ppr, 3) and valid.shape == (32, ppr)
@@ -212,6 +212,9 @@ def test_march_ray_slots_regroups_march(geo):
             np.sort(got_p[r, :n], axis=0), np.sort(rows[:n], axis=0),
             rtol=1e-6, atol=1e-6,
         )
-    n_real = int((~pad).sum())
-    want_drop = total_dropped / max(n_real, 1)
-    np.testing.assert_allclose(float(dropped), want_drop, atol=1e-6)
+    want_counts = np.asarray(
+        [int(((rid == r) & ~pad).sum()) for r in range(32)])
+    np.testing.assert_array_equal(np.asarray(counts), want_counts)
+    np.testing.assert_array_equal(
+        np.asarray(dropped), np.maximum(want_counts - ppr, 0))
+    assert total_dropped == int(np.asarray(dropped).sum())
