@@ -288,9 +288,17 @@ class AppClass:
                 if os.path.exists(p):
                     vids[f"{self.phase}/video/{k}"] = p
                     break
+        # Subsample the still-image mirror (first/middle/last frame) — the
+        # full sequence is already uploaded as mp4/gif; hundreds of
+        # wandb.Images per key would dominate eval wall-clock.
+        def _sample(v):
+            idx = sorted({0, len(v) // 2, len(v) - 1}) if len(v) else []
+            return [v[i] for i in idx]
+
         self.get_logger().log_media(
             step=self.global_step,
-            images={f"{self.phase}/image/{k}": v for k, v in renders.items()},
+            images={f"{self.phase}/image/{k}": _sample(v)
+                    for k, v in renders.items()},
             videos=vids,
         )
 

@@ -66,10 +66,13 @@ def main():
             if v is None:
                 continue
             mx, p99, med = v.max(), np.percentile(v, 99), np.median(v)
-            rec = min(1.0, mx * HEADROOM)
+            # Clamp only the shrink direction: utilization >1 (overflow) must
+            # surface as an explicit >1x grow recommendation, not "1.00x".
+            rec = mx * HEADROOM
             print(f"  {key}: median {med:.3f}  p99 {p99:.3f}  max {mx:.3f}"
                   f" -> scale {name} by ~{rec:.2f}x"
-                  + ("  (already tight)" if rec > 0.85 else ""))
+                  + ("  (already tight)" if 0.85 < rec <= 1.0 else "")
+                  + ("  (GROW: budget overflowed)" if mx > 1.0 else ""))
     return 0
 
 
