@@ -27,6 +27,11 @@ sys.path.insert(0, REPO)
 
 def main():
     import jax
+
+    # sitecustomize pins the axon TPU backend before env vars can take
+    # effect; BENCH_PLATFORM=cpu forces a local run through jax.config
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
 
     from esrnerf_tpu.apps.lts import LTS
