@@ -299,12 +299,10 @@ class AlphaMask(AppClass):
             em = int(np.asarray(data["em_modes"]).reshape(-1)[0])
             for st in range(0, n, self.eval_bs):
                 en = min(st + self.eval_bs, n)
-                out = fwd(
-                    self.params,
-                    jnp.asarray(data["rays_o"][st:en]),
-                    jnp.asarray(data["rays_d"][st:en]),
-                    jnp.int32(em),
+                ro, rd = self.place_ray_chunk(
+                    data["rays_o"][st:en], data["rays_d"][st:en]
                 )
+                out = fwd(self.params, ro, rd, jnp.int32(em))
                 for k, v in out.items():
                     results.setdefault(k, []).append(np.asarray(v))
 

@@ -371,9 +371,24 @@ class Coarse(AppClass):
         renders: Dict[str, List[np.ndarray]] = {}
         s_val = getattr(self.renderer, "s_val", self.s_start)
 
-        fwd = self.cached_jit(
-            "eval_fwd", lambda: jax.jit(self.renderer.forward_evaluate)
-        )
+        def fwd_for_scale(budget_scale: int = 1):
+            def build():
+                renderer = self.renderer
+                # fresh closure: equal bound methods share jit's trace cache
+                fn = jax.jit(lambda *a: renderer.forward_evaluate(*a))
+                if budget_scale == 1:
+                    return fn
+
+                def scaled(*args):
+                    with self.scaled_budgets(budget_scale):
+                        return fn(*args)
+
+                return scaled
+
+            return self.cached_jit("eval_fwd", build,
+                                   key_extra=(budget_scale,))
+
+        fwd_for_scale(1)
 
         for i in self.tqdm(img_idxes, desc="eval", leave=False):
             data = self.test_dataset[int(i)]
@@ -383,11 +398,12 @@ class Coarse(AppClass):
             results: Dict[str, List[np.ndarray]] = {}
             for st in range(0, n, self.eval_bs):
                 en = min(st + self.eval_bs, n)
-                out = fwd(
-                    self.params,
-                    jnp.asarray(data["rays_o"][st:en]),
-                    jnp.asarray(data["rays_d"][st:en]),
-                    jnp.asarray(data["viewdirs"][st:en]),
+                ro, rd, vd = self.place_ray_chunk(
+                    data["rays_o"][st:en], data["rays_d"][st:en],
+                    data["viewdirs"][st:en],
+                )
+                out = self.eval_chunk_retry(
+                    fwd_for_scale, self.params, ro, rd, vd,
                     jnp.int32(em), pos_rt, jnp.float32(s_val),
                 )
                 ovf = out.pop("etc/overflow", None)

@@ -183,7 +183,9 @@ class Fine(AppClass):
         r = payload["renderer"]
         self.global_step = payload["trainer"]["global_step"]
         self.renderer = self._build_renderer(r, r["s_val"], r["num_voxels"])
-        self.params = jax.tree.map(jnp.asarray, r["params"])
+        self.params = self.place_replicated(
+            jax.tree.map(jnp.asarray, r["params"])
+        )
         print(f"loaded ckpt {ckpt} @ step {self.global_step}")
 
     # ---------------------------------------------------------------- train
@@ -360,10 +362,25 @@ class Fine(AppClass):
 
     # ----------------------------------------------------------------- eval
 
-    def _eval_fwd(self):
-        return self.cached_jit(
-            "eval_fwd", lambda: jax.jit(self.renderer.forward_evaluate)
-        )
+    def _eval_fwd(self, budget_scale: int = 1):
+        def build():
+            renderer = self.renderer
+            # fresh closure per build: jit's trace cache keys on the callable
+            # and equal bound methods collide, which would silently reuse the
+            # scale-1 trace for the escalated-budget variants
+            fwd = jax.jit(lambda *a: renderer.forward_evaluate(*a))
+            if budget_scale == 1:
+                return fwd
+
+            def scaled(*args):
+                # budgets are read at trace time; the scaled attrs only
+                # matter on this wrapper's first call per shape
+                with self.scaled_budgets(budget_scale):
+                    return fwd(*args)
+
+            return scaled
+
+        return self.cached_jit("eval_fwd", build, key_extra=(budget_scale,))
 
     def _decompose_pbr(self, pbr_pts, n_rays: int, s_val):
         """Hook: chunked LTS decomposition (LTS/PDRA stages only)."""
@@ -390,7 +407,7 @@ class Fine(AppClass):
         }
         renders: Dict[str, List[np.ndarray]] = {}
         s_val = getattr(self.renderer, "s_val", self.s_start)
-        fwd = self._eval_fwd()
+        self._eval_fwd()  # build the scale-1 jit up front
 
         for i in self.tqdm(img_idxes, desc="eval", leave=False):
             data = self.test_dataset[int(i)]
@@ -400,11 +417,12 @@ class Fine(AppClass):
             results: Dict[str, List[np.ndarray]] = {}
             for st in range(0, n, self.eval_bs):
                 en = min(st + self.eval_bs, n)
-                out = fwd(
-                    self.params,
-                    jnp.asarray(data["rays_o"][st:en]),
-                    jnp.asarray(data["rays_d"][st:en]),
-                    jnp.asarray(data["viewdirs"][st:en]),
+                ro, rd, vd = self.place_ray_chunk(
+                    data["rays_o"][st:en], data["rays_d"][st:en],
+                    data["viewdirs"][st:en],
+                )
+                out = self.eval_chunk_retry(
+                    self._eval_fwd, self.params, ro, rd, vd,
                     jnp.int32(em), pos_rt, jnp.float32(s_val),
                 )
                 ovf = out.pop("etc/overflow", None)

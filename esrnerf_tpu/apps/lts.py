@@ -332,7 +332,7 @@ class LTS(Fine):
 
     # ----------------------------------------------------------------- eval
 
-    def _eval_fwd(self):
+    def _eval_fwd(self, budget_scale: int = 1):
         render_pbr = bool(self.render_pbr)
         emit_grid_key = self._emit_grid_key()
 
@@ -344,10 +344,18 @@ class LTS(Fine):
                     render_pbr=render_pbr, emit_grid_key=emit_grid_key,
                 )
 
-            return fwd
+            if budget_scale == 1:
+                return fwd
+
+            def scaled(*args):
+                with self.scaled_budgets(budget_scale):
+                    return fwd(*args)
+
+            return scaled
 
         return self.cached_jit(
-            "eval_fwd", build, key_extra=(render_pbr, emit_grid_key)
+            "eval_fwd", build,
+            key_extra=(render_pbr, emit_grid_key, budget_scale),
         )
 
     def _emit_grid_key(self) -> str:
@@ -360,16 +368,28 @@ class LTS(Fine):
         chunk = self.chunk_sz
         K = int(pbr_pts["pts"].shape[0])
 
-        def build():
-            @jax.jit
-            def lts_chunk(params, key, pts, vd, nrm, bc, rough, metal, s):
-                return model.lts_eval_chunk(
-                    params, key, pts, vd, nrm, bc, rough, metal, s
-                )
+        def lts_chunk_for_scale(budget_scale: int):
+            def build():
+                @jax.jit
+                def lts_chunk(params, key, pts, vd, nrm, bc, rough, metal, s):
+                    return model.lts_eval_chunk(
+                        params, key, pts, vd, nrm, bc, rough, metal, s
+                    )
 
-            return lts_chunk
+                if budget_scale == 1:
+                    return lts_chunk
 
-        self._lts_chunk_fn = self.cached_jit("lts_chunk", build)
+                def scaled(*args):
+                    with self.scaled_budgets(budget_scale):
+                        return lts_chunk(*args)
+
+                return scaled
+
+            return self.cached_jit(
+                "lts_chunk", build, key_extra=(budget_scale,)
+            )
+
+        self._lts_chunk_fn = lts_chunk_for_scale(1)
 
         key = jax.random.PRNGKey(0)
         parts: Dict[str, List[np.ndarray]] = {}
@@ -377,10 +397,13 @@ class LTS(Fine):
             en = min(st + chunk, K)
             sl = slice(st, en)
             key, sub = jax.random.split(key)
-            out = self._lts_chunk_fn(
-                self.params, sub, pbr_pts["pts"][sl], pbr_pts["viewdirs"][sl],
+            args = self.place_ray_chunk(
+                pbr_pts["pts"][sl], pbr_pts["viewdirs"][sl],
                 pbr_pts["normal"][sl], pbr_pts["basecolor"][sl],
-                pbr_pts["roughness"][sl], pbr_pts["metallic"][sl], s_val,
+                pbr_pts["roughness"][sl], pbr_pts["metallic"][sl],
+            )
+            out = self.eval_chunk_retry(
+                lts_chunk_for_scale, self.params, sub, *args, s_val,
             )
             ovf = out.pop("etc/overflow", None)
             if ovf is not None:

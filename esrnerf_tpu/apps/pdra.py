@@ -126,16 +126,28 @@ class PDRA(LTS):
 
     # ------------------------------------------------------------ ray groups
 
+    def _emit_fn_for_scale(self, budget_scale: int = 1):
+        def build():
+            fn = jax.jit(
+                lambda p, ro, rd, vd, s: self.renderer.eval_emit(p, ro, rd, vd, s)
+            )
+            if budget_scale == 1:
+                return fn
+
+            def scaled(*args):
+                with self.scaled_budgets(budget_scale):
+                    return fn(*args)
+
+            return scaled
+
+        return self.cached_jit("emit_fn", build, key_extra=(budget_scale,))
+
     def update_ray_groups(self, k_val: float) -> None:
         """Re-render per-ray emission for the uncertain pool and move rays
         with max emission <= k_val to the certain pool
-        (reference pdra.py:882-932)."""
-        self._emit_fn = self.cached_jit(
-            "emit_fn",
-            lambda: jax.jit(
-                lambda p, ro, rd, vd, s: self.renderer.eval_emit(p, ro, rd, vd, s)
-            ),
-        )
+        (reference pdra.py:882-932). Chunks ride the data mesh when one
+        exists; budget overflow escalates instead of truncating."""
+        self._emit_fn = self._emit_fn_for_scale(1)
         rays_o = self.sampler.uncert_data["rays_o"]
         rays_d = self.sampler.uncert_data["rays_d"]
         viewdirs = self.sampler.uncert_data["viewdirs"]
@@ -147,14 +159,18 @@ class PDRA(LTS):
             en = min(st + bs, n)
             # cyclically tile the tail chunk so the jitted fn sees one shape
             idx = np.resize(np.arange(st, en), bs)
-            out = np.asarray(
-                self._emit_fn(
-                    self.params, jnp.asarray(rays_o[idx]),
-                    jnp.asarray(rays_d[idx]), jnp.asarray(viewdirs[idx]),
-                    jnp.float32(s_val),
-                )
+            ro, rd, vd = self.place_ray_chunk(
+                rays_o[idx], rays_d[idx], viewdirs[idx]
             )
-            emission[st:en] = out[: en - st]
+            out = self.eval_chunk_retry(
+                lambda sc: (lambda *a: dict(zip(
+                    ("emit", "etc/overflow"),
+                    self._emit_fn_for_scale(sc)(*a),
+                ))),
+                self.params, ro, rd, vd, jnp.float32(s_val),
+            )
+            self.track_overflow(out["etc/overflow"])
+            emission[st:en] = np.asarray(out["emit"])[: en - st]
 
         keep_uncertain = emission.max(-1) > k_val
         n_before = self.sampler.uncert_data_num
@@ -322,12 +338,24 @@ class PDRA(LTS):
             [cv2.dilate(m, np.ones((ks, ks)), iterations=1) for m in em_masks]
         )  # [L, h, w]
 
-        self._esp_fn = self.cached_jit(
-            "esp_fn",
-            lambda: jax.jit(
-                lambda p, ro, rd, vd, s: self.renderer.eval_esp(p, ro, rd, vd, s)
-            ),
-        )
+        def esp_fn_for_scale(budget_scale: int = 1):
+            def build():
+                fn = jax.jit(
+                    lambda p, ro, rd, vd, s: self.renderer.eval_esp(
+                        p, ro, rd, vd, s)
+                )
+                if budget_scale == 1:
+                    return fn
+
+                def scaled(*args):
+                    with self.scaled_budgets(budget_scale):
+                        return fn(*args)
+
+                return scaled
+
+            return self.cached_jit("esp_fn", build, key_extra=(budget_scale,))
+
+        self._esp_fn = esp_fn_for_scale(1)
 
         rays_o = sampler.uncert_data["rays_o"]
         rays_d = sampler.uncert_data["rays_d"]
@@ -343,11 +371,17 @@ class PDRA(LTS):
         for st in range(0, n, bs):
             en = min(st + bs, n)
             cidx = np.resize(np.arange(st, en), bs)
-            esp = np.asarray(
-                self._esp_fn(self.params, jnp.asarray(rays_o[cidx]),
-                             jnp.asarray(rays_d[cidx]),
-                             jnp.asarray(viewdirs[cidx]), jnp.float32(s_val))
-            )[: en - st]
+            ro, rd, vd = self.place_ray_chunk(
+                rays_o[cidx], rays_d[cidx], viewdirs[cidx]
+            )
+            out = self.eval_chunk_retry(
+                lambda sc: (lambda *a: dict(zip(
+                    ("esp", "etc/overflow"), esp_fn_for_scale(sc)(*a),
+                ))),
+                self.params, ro, rd, vd, jnp.float32(s_val),
+            )
+            self.track_overflow(out["etc/overflow"])
+            esp = np.asarray(out["esp"])[: en - st]
 
             hom = np.concatenate([esp, np.ones_like(esp[:, :1])], -1).T
             xyz = w2c @ hom
@@ -408,6 +442,7 @@ class PDRA(LTS):
         # frozen emit snapshot of the pre-finetune emo grid (esrnerf.py:226-232);
         # must be a copy — emo_color is donated by the finetune step
         all_params["emit_color"] = jnp.copy(all_params["emo_color"])
+        all_params = self.place_replicated(all_params)
         self.params = all_params
 
         sampler = RayGroupManager(
@@ -419,9 +454,13 @@ class PDRA(LTS):
         )
         sampler = self.filter_edit_rays(sampler, test_data)
 
-        trainable = {
-            k: all_params[k] for k in ("emo_color", "emo_rgbnet")
-        }
+        # ft_step donates the trainable leaves; they must NOT alias the
+        # reusable eval payload (jnp.asarray / device_put are zero-copy when
+        # the sharding already matches), or the NEXT test image's finetune
+        # reads deleted buffers
+        trainable = jax.tree.map(
+            jnp.copy, {k: all_params[k] for k in ("emo_color", "emo_rgbnet")}
+        )
         frozen = {k: v for k, v in all_params.items()
                   if k not in ("emo_color", "emo_rgbnet")}
         opt = Adam(self.eval_lrs)
@@ -460,9 +499,8 @@ class PDRA(LTS):
                         if pad else pool[k][st:en]
                         for k in ("rays_o", "rays_d", "viewdirs")
                     )
-                    p, ok, (cnt, drop) = slot_fn(
-                        sdf_frozen, jnp.asarray(ro), jnp.asarray(rd),
-                        jnp.asarray(vd))
+                    ro, rd, vd = self.place_ray_chunk(ro, rd, vd)
+                    p, ok, (cnt, drop) = slot_fn(sdf_frozen, ro, rd, vd)
                     pts_l.append(np.asarray(p[:en - st]))
                     ok_l.append(np.asarray(ok[:en - st]))
                     # real rays only: the chunk tail is padded with copies
@@ -512,7 +550,13 @@ class PDRA(LTS):
         key = jax.random.PRNGKey(self.cfg.system["seed"])
         losses = []
         for it in self.tqdm(range(self.eval_niters), desc="finetune", leave=False):
-            batch = {k: jnp.asarray(v) for k, v in sampler.sample().items()}
+            raw = sampler.sample()
+            nb = len(next(iter(raw.values())))
+            if (self.mesh is not None
+                    and nb % int(np.prod(self.mesh.devices.shape)) == 0):
+                batch = self.place_batch(raw)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in raw.items()}
             key, sub = jax.random.split(key)
             trainable, opt_state, loss, ovf = self._ft_step(
                 trainable, opt_state, frozen, batch, sub
@@ -581,11 +625,12 @@ class PDRA(LTS):
             results: Dict[str, List[np.ndarray]] = {}
             for st in range(0, n, self.eval_bs):
                 en = min(st + self.eval_bs, n)
-                out = fwd(
-                    self.params,
-                    jnp.asarray(data["rays_o"][st:en]),
-                    jnp.asarray(data["rays_d"][st:en]),
-                    jnp.asarray(data["viewdirs"][st:en]),
+                ro, rd, vd = self.place_ray_chunk(
+                    data["rays_o"][st:en], data["rays_d"][st:en],
+                    data["viewdirs"][st:en],
+                )
+                out = self.eval_chunk_retry(
+                    fwd, self.params, ro, rd, vd,
                     jnp.int32(1), pos_rt, jnp.float32(s_val),
                 )
                 out.pop("pbr_points", None)
@@ -632,20 +677,34 @@ class PDRA(LTS):
         self.log_eval(self.test_dataset.phase + "/", metrics)
 
     def _make_relight_fwd(self):
+        """Returns ``fwd_for_scale(budget_scale) -> jitted eval fn`` for
+        :meth:`eval_chunk_retry`. One jit per (render_pbr, scale), reused
+        across ALL test images (each finetune_radiance only swaps params,
+        not the renderer) — re-jitting per image cost a full re-trace of
+        the eval graph per relit view."""
         model = self.renderer
         render_pbr = bool(self.render_pbr)
 
-        def build():
-            @jax.jit
-            def fwd(params, rays_o, rays_d, viewdirs, em, pos_rt, s_val):
-                return model.forward_evaluate(
-                    params, rays_o, rays_d, viewdirs, em, pos_rt, s_val,
-                    render_pbr=render_pbr, emit_grid_key="emit_color",
-                )
+        def for_scale(budget_scale: int = 1):
+            def build():
+                @jax.jit
+                def fwd(params, rays_o, rays_d, viewdirs, em, pos_rt, s_val):
+                    return model.forward_evaluate(
+                        params, rays_o, rays_d, viewdirs, em, pos_rt, s_val,
+                        render_pbr=render_pbr, emit_grid_key="emit_color",
+                    )
 
-            return fwd
+                if budget_scale == 1:
+                    return fwd
 
-        # one jit reused across ALL test images (each finetune_radiance only
-        # swaps params, not the renderer) — re-jitting per image cost a full
-        # re-trace of the eval graph per relit view
-        return self.cached_jit("relight_fwd", build, key_extra=(render_pbr,))
+                def scaled(*args):
+                    with self.scaled_budgets(budget_scale):
+                        return fwd(*args)
+
+                return scaled
+
+            return self.cached_jit(
+                "relight_fwd", build, key_extra=(render_pbr, budget_scale)
+            )
+
+        return for_scale

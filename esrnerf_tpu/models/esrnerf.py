@@ -540,8 +540,12 @@ class ESRNeRF(VoxurfF):
     # ------------------------------------------------------- emission probes
 
     def eval_emit(self, params: Params, rays_o, rays_d, viewdirs, s_val,
-                  emit_grid_key: str = "emo_color") -> jnp.ndarray:
-        """Per-ray rendered emission (reference esrnerf.py:1299-1358)."""
+                  emit_grid_key: str = "emo_color"):
+        """Per-ray rendered emission (reference esrnerf.py:1299-1358).
+
+        Returns ``(emission [N,3], overflow scalar)`` — the march overflow
+        must reach the regroup loop so a truncated emission render cannot
+        silently misclassify rays."""
         geo = self.geo
         m = geo.march(
             params["sdf"], rays_o, rays_d, viewdirs, s_val,
@@ -553,16 +557,17 @@ class ESRNeRF(VoxurfF):
         )
         emit = jax.nn.softplus(mlpops.apply_mlp(
             params["emitnet"], ex, compute_dtype=self.mlp_dtype))
-        return geo.segment_to_rays(m, emit)
+        return geo.segment_to_rays(m, emit), m.overflow
 
     def eval_esp(self, params: Params, rays_o, rays_d, viewdirs, s_val):
-        """Expected surface point per ray (reference esrnerf.py:1360-1407)."""
+        """Expected surface point per ray (reference esrnerf.py:1360-1407).
+        Returns ``(esp [N,3], overflow scalar)``."""
         geo = self.geo
         m = geo.march(
             params["sdf"], rays_o, rays_d, viewdirs, s_val,
             self.fastcolor_thres, self.neus_alpha, style="fine",
         )
-        return geo.segment_to_rays(m, m.pts)
+        return geo.segment_to_rays(m, m.pts), m.overflow
 
     # --------------------------------------------------------------- finetune
 

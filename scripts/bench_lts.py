@@ -106,8 +106,16 @@ def main():
         params, opt_state, aux = train_step(
             params, opt_state, batches[i % len(batches)], *extras()
         )
-    ovf = float(aux[-1])
-    assert ovf == 0.0, f"march overflow {ovf:.4f}: budget too small"
+    # aux = (mse, lin_mse, off_l, emo_l, overflow, k1f, k2f, k1f2, k2f2)
+    def kfracs(a):
+        return {k: round(float(v), 3) for k, v in
+                zip(("k1_frac", "k2_frac", "k1_frac_2nd", "k2_frac_2nd"),
+                    a[5:9])}
+
+    ovf = float(aux[4])
+    assert ovf == 0.0, (
+        f"march overflow {ovf:.4f}: budget too small (utilization {kfracs(aux)})"
+    )
 
     trace_dir = os.environ.get("BENCH_TRACE_DIR")
     if trace_dir:
@@ -127,7 +135,7 @@ def main():
     final_mse = float(aux[0])
     dt = time.perf_counter() - t0
     assert np.isfinite(final_mse), f"non-finite mse {final_mse}"
-    assert float(aux[-1]) == 0.0, f"march overflow {float(aux[-1]):.4f}"
+    assert float(aux[4]) == 0.0, f"march overflow {float(aux[4]):.4f}"
 
     print(
         json.dumps(
@@ -140,6 +148,7 @@ def main():
                 "batch": batch,
                 "num_secondary": n_sec,
                 "num_voxels": num_voxels,
+                **kfracs(aux),
             }
         )
     )

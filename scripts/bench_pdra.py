@@ -148,12 +148,12 @@ def main():
     eb = batches[0]
     ro, rd, vd = (jnp.resize(eb[k], (ebs, 3))
                   for k in ("rays_o", "rays_d", "viewdirs"))
-    out = emit_fn(params, ro, rd, vd, jnp.float32(220.0))  # compile
+    out, _ovf = emit_fn(params, ro, rd, vd, jnp.float32(220.0))  # compile
     _ = float(out.ravel()[0])
     n_chunks = max(2, int(np.ceil(131072 / ebs)))
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        out = emit_fn(params, ro, rd, vd, jnp.float32(220.0))
+        out, _ovf = emit_fn(params, ro, rd, vd, jnp.float32(220.0))
     _ = float(out.ravel()[0])
     edt = time.perf_counter() - t0
     regroup_rps = n_chunks * ebs / edt

@@ -327,3 +327,95 @@ def test_fsdp_param_sharding_matches_replicated():
     app._mesh = mesh
     placed = app.place_replicated(params)
     assert placed["density"].sharding.spec[0] == "data"
+
+
+def test_sharded_eval_sweeps_match_single_device():
+    """Eval-time heavy sweeps — chunked ``forward_evaluate`` (with the PBR
+    point hand-off), the ``lts_eval_chunk`` decomposition, and the
+    ``eval_emit``/``eval_esp`` regroup renderers — run data-parallel under
+    GSPMD when their chunk inputs are sharded over the mesh (the apps'
+    ``place_ray_chunk``). Outputs must match the single-device run."""
+    from esrnerf_tpu.parallel import batch_sharding
+
+    cfg = load_cfg(
+        "cfg/app/lts.yaml",
+        [
+            "system.compute_dtype=float32",
+            "app.phase=train",
+            "data.cls=esrnerf.ESRNeRF", "data.root=unused",
+            "data.scene=unused",
+            "app.model.ray_sampling=fib",
+            "app.model.num_2ndrays=8",
+            "app.model.num_ltspts=8",
+            "app.model.points_budget_per_2ndray=8",
+            "app.model.points_budget_per_ray=16",
+        ],
+        root_dir=REPO,
+    )
+    model, params = _tiny_esrnerf(cfg)
+    n = 64
+    rng = np.random.default_rng(11)
+    o = rng.normal(size=(n, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2
+    d = rng.normal(scale=0.3, size=(n, 3)).astype(np.float32) - o
+    vd = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    pos_rt = jnp.eye(3)
+    sv = jnp.float32(220.0)
+
+    mesh = get_mesh(devices=jax.devices()[:8])
+    bsh = batch_sharding(mesh)
+    pr = jax.device_put(params, replicated(mesh))
+
+    def both(fn, *arrays, extra=()):
+        """(single-device out, sharded-chunk out) for one eval fn."""
+        one = fn(params, *[jnp.asarray(a) for a in arrays], *extra)
+        two = fn(pr, *[jax.device_put(jnp.asarray(a), bsh) for a in arrays],
+                 *extra)
+        return one, two
+
+    # --- forward_evaluate with the pbr point hand-off
+    fwd = jax.jit(lambda p, ro, rd, v, s: model.forward_evaluate(
+        p, ro, rd, v, 1, pos_rt, s, render_pbr=True))
+    out1, out2 = both(fwd, o, d, vd, extra=(sv,))
+    pbr1 = out1.pop("pbr_points")
+    pbr2 = out2.pop("pbr_points")
+    for k in out1:
+        np.testing.assert_allclose(
+            np.asarray(out1[k]), np.asarray(out2[k]), rtol=1e-5, atol=1e-6,
+            err_msg=f"forward_evaluate {k}",
+        )
+    np.testing.assert_array_equal(
+        np.asarray(pbr1["ray_id"]), np.asarray(pbr2["ray_id"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(pbr1["pts"]), np.asarray(pbr2["pts"]), rtol=1e-6,
+        atol=1e-7,
+    )
+
+    # --- the chunked LTS decomposition over surviving points
+    K = 32
+    sel = [k for k in ("pts", "viewdirs", "normal", "basecolor",
+                       "roughness", "metallic")]
+    chunk_in = [np.asarray(pbr1[k])[:K] for k in sel]
+    key = jax.random.PRNGKey(5)
+    chunk = jax.jit(
+        lambda p, pts, v, nr, bc, rg, mt, s: model.lts_eval_chunk(
+            p, key, pts, v, nr, bc, rg, mt, s)
+    )
+    c1, c2 = both(chunk, *chunk_in, extra=(sv,))
+    for k in c1:
+        np.testing.assert_allclose(
+            np.asarray(c1[k]), np.asarray(c2[k]), rtol=1e-5, atol=1e-6,
+            err_msg=f"lts_eval_chunk {k}",
+        )
+
+    # --- the regroup emission renderer + expected-surface-point probe
+    emit = jax.jit(lambda p, ro, rd, v, s: model.eval_emit(p, ro, rd, v, s))
+    (e1, ov1), (e2, ov2) = both(emit, o, d, vd, extra=(sv,))
+    assert float(ov1) == float(ov2) == 0.0
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-5,
+                               atol=1e-6)
+    esp = jax.jit(lambda p, ro, rd, v, s: model.eval_esp(p, ro, rd, v, s))
+    (s1, _), (s2, _) = both(esp, o, d, vd, extra=(sv,))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5,
+                               atol=1e-6)
