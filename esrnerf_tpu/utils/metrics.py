@@ -87,13 +87,25 @@ def _load_lpips(net_name: str):
        the only fully-offline option (this environment has zero egress, so
        neither torchvision backbones nor the lpips package's weights can
        download).
-    2. The ``lpips`` package with its bundled pretrained weights.
-    3. None -> callers report NaN with a one-time warning.
+    2. ``assets/lpips_<net>.pt`` at the repo root — the default drop
+       location of ``scripts/make_lpips_bundle.py`` (build it once on a
+       connected machine; ``tests/test_lpips_weights.py`` golden-checks
+       any bundle found there against its ``.golden.json`` sidecar).
+    3. The ``lpips`` package with its bundled pretrained weights.
+    4. None -> callers report NaN with a one-time warning.
     """
     import os
 
-    path = os.environ.get(f"LPIPS_WEIGHTS_{net_name.upper()}") or os.environ.get(
-        "LPIPS_WEIGHTS"
+    assets = os.environ.get("ESRNERF_ASSETS") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "assets",
+    )
+    default = os.path.join(assets, f"lpips_{net_name}.pt")
+    path = (
+        os.environ.get(f"LPIPS_WEIGHTS_{net_name.upper()}")
+        or os.environ.get("LPIPS_WEIGHTS")
+        or (default if os.path.exists(default) else None)
     )
     if path:
         try:

@@ -16,8 +16,12 @@ def _clear_cache():
     metrics.__LPIPS__.clear()
 
 
-def test_lpips_nan_without_weights(monkeypatch):
+def test_lpips_nan_without_weights(monkeypatch, tmp_path):
     monkeypatch.delenv("LPIPS_WEIGHTS", raising=False)
+    monkeypatch.delenv("LPIPS_WEIGHTS_ALEX", raising=False)
+    # point the assets default at an empty dir so a real committed bundle
+    # doesn't turn this into a load test
+    monkeypatch.setenv("ESRNERF_ASSETS", str(tmp_path))
     _clear_cache()
     from esrnerf_tpu.utils.metrics import rgb_lpips
 
@@ -49,4 +53,54 @@ def test_lpips_scripted_bundle(tmp_path, monkeypatch):
     assert d_same == 0.0
     # the [0,1] -> [-1,1] normalization doubles the per-channel range
     assert np.isclose(d_diff, np.mean((2 * a - 2 * b) ** 2), rtol=1e-5)
+    _clear_cache()
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_BUNDLES = [
+    p for p in
+    (os.path.join(REPO, "assets", f"lpips_{n}.pt") for n in ("alex", "vgg"))
+    if os.path.exists(p)
+]
+
+
+@pytest.mark.skipif(
+    not _BUNDLES,
+    reason="no real LPIPS bundle committed (zero-egress sandbox; build one "
+    "with scripts/make_lpips_bundle.py on a connected machine)",
+)
+@pytest.mark.parametrize("bundle", _BUNDLES)
+def test_committed_bundle_reproduces_goldens(bundle, monkeypatch):
+    """Any committed assets/lpips_<net>.pt must reproduce the golden
+    distances its builder recorded in the .golden.json sidecar — catches
+    corruption and torch-version drift before they skew eval metrics."""
+    import json
+
+    net = os.path.basename(bundle)[len("lpips_"):-len(".pt")]
+    side = bundle[: -len(".pt")] + ".golden.json"
+    assert os.path.exists(side), f"{bundle} has no golden sidecar"
+    meta = json.load(open(side))
+    import hashlib
+
+    sha = hashlib.sha256(open(bundle, "rb").read()).hexdigest()
+    assert sha == meta["sha256"], "bundle does not match its sidecar sha256"
+
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from make_lpips_bundle import synthetic_pair
+
+    monkeypatch.delenv("LPIPS_WEIGHTS", raising=False)
+    monkeypatch.delenv(f"LPIPS_WEIGHTS_{net.upper()}", raising=False)
+    monkeypatch.delenv("ESRNERF_ASSETS", raising=False)
+    _clear_cache()
+    from esrnerf_tpu.utils.metrics import rgb_lpips
+
+    h, w = meta["image_hw"]
+    for name, golden in meta["goldens"].items():
+        gt, im = synthetic_pair(int(name[len("seed"):]), h, w)
+        d = rgb_lpips(gt, im, net)
+        assert np.isclose(d, golden, rtol=1e-4, atol=1e-6), (
+            f"{net} {name}: {d} != golden {golden}"
+        )
     _clear_cache()
