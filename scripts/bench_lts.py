@@ -56,8 +56,10 @@ def main():
             # around the ball surface; ~64 samples per crossing at step
             # 0.5). Overflow is asserted 0 below — without the band cull
             # the fully-occupied ball interior needed 384/ray
-            "app.model.points_budget_masked_per_ray=256",
-            "app.model.points_budget_masked_per_2ndray=160",
+            "app.model.points_budget_masked_per_ray="
+            + os.environ.get("BENCH_MASKED_PER_RAY", "256"),
+            "app.model.points_budget_masked_per_2ndray="
+            + os.environ.get("BENCH_MASKED_PER_2NDRAY", "160"),
         ],
         root_dir=REPO,
     )

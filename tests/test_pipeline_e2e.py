@@ -16,6 +16,62 @@ pytestmark = pytest.mark.e2e
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Golden metrics for the fixed-seed synthetic pipeline. The chain is fully
+# seeded (system.seed=0, np.default_rng sampler streams, PRNGKey trainers) and
+# the conftest pins an 8-device CPU mesh, so these values are reproducible
+# bit-for-bit up to XLA reduction-order noise — tolerances are set well below
+# the shift that any real numeric regression produces (a 1e-2 perturbation of
+# the alphas2weights kernel moves the coarse train PSNR by >1 dB; see
+# DEVELOP.md "Golden e2e").  Regenerate after an *intentional*
+# numeric change with  ESR_REGEN_GOLDENS=1 pytest tests/test_pipeline_e2e.py.
+GOLDEN_PATH = os.path.join(REPO, "tests", "goldens", "pipeline_e2e.json")
+
+
+def last_metric(logdir, key):
+    """Last logged value of ``key`` in ``logdir``'s metrics.jsonl."""
+    val = None
+    with open(os.path.join(logdir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if key in rec:
+                val = rec[key]
+    return val
+
+
+def check_goldens(observed):
+    """Assert {name: (value, tol)} against the committed golden file.
+
+    With ESR_REGEN_GOLDENS=1 the file is rewritten from the observed values
+    instead (then the test skips so a stale pass isn't recorded).
+    """
+    observed = {k: (v, t) for k, (v, t) in observed.items() if v is not None}
+    if os.environ.get("ESR_REGEN_GOLDENS"):
+        os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+        with open(GOLDEN_PATH, "w") as f:
+            json.dump(
+                {k: {"value": float(v), "tol": t}
+                 for k, (v, t) in observed.items()},
+                f, indent=1, sort_keys=True)
+        pytest.skip("goldens regenerated; re-run without ESR_REGEN_GOLDENS")
+    if not os.path.exists(GOLDEN_PATH):
+        import warnings
+
+        warnings.warn(
+            "tests/goldens/pipeline_e2e.json missing — golden regression "
+            "check SKIPPED; generate with ESR_REGEN_GOLDENS=1 pytest "
+            "tests/test_pipeline_e2e.py (slow: full e2e on one core)")
+        return
+    with open(GOLDEN_PATH) as f:
+        gold = json.load(f)
+    assert set(gold) == set(observed), sorted(set(gold) ^ set(observed))
+    errs = []
+    for k, (v, tol) in observed.items():
+        ref = gold[k]["value"]
+        if not np.isfinite(v) or abs(float(v) - ref) > gold[k]["tol"]:
+            errs.append(f"{k}: observed {float(v):.6g} vs golden {ref:.6g} "
+                        f"(tol {gold[k]['tol']})")
+    assert not errs, "golden metric drift:\n" + "\n".join(errs)
+
 
 @pytest.fixture(scope="session")
 def scene_root(tmp_path_factory):
@@ -190,6 +246,31 @@ def test_alphamask_then_coarse(scene_root, tmp_path):
     ]
     relight_psnr = [p for p in relight_psnr if p is not None]
     assert relight_psnr and np.isfinite(relight_psnr).all()
+
+    # ---- golden metrics: catch silent numeric regressions that the
+    # monotone/finiteness assertions above would let through.
+    def pct(v, frac=0.05, floor=1e-7):
+        return (v, max(abs(float(v)) * frac, floor)) if v is not None else (None, 0)
+
+    observed = {
+        "coarse/train_srgb_PSNR": (psnrs[-1], 0.15),
+        "fine/train_srgb_PSNR": (psnrs3[-1], 0.15),
+        "lts/train_emo_MSE": pct(lts_losses[-1]),
+        "pdra/IoU": (iou[-1]["test_nv/metric/etc/IoU"], 0.02),
+        "pdra/n_certain": (float(a5.sampler.cert_data_num), 2.0),
+        "relight/lin_PSNR": (float(np.mean(relight_psnr)), 0.15),
+    }
+    for stage, logdir in (("fine", cfg3.log["dir"]), ("lts", cfg4.log["dir"]),
+                          ("pdra", cfg5.log["dir"])):
+        for phase in ("test", "test_nv"):
+            for m, tol in (("srgb/PSNR", 0.15), ("srgb/SSIM", 0.005)):
+                v = last_metric(logdir, f"{phase}/metric/{m}")
+                if v is not None:
+                    observed[f"{stage}/eval_{phase}_{m.replace('/', '_')}"] = (v, tol)
+        v = last_metric(logdir, "test/metric/lin/MSE_EXR_off")
+        if v is not None:
+            observed[f"{stage}/eval_lin_MSE_EXR_off"] = pct(v)
+    check_goldens(observed)
 
     # ---- coarse resume from its own ckpt
     cfg2b = stage_cfg("coarse", scene_root, logdir, 140, extra=[
