@@ -13,12 +13,16 @@ dynamics track the reference.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
 MLPParams = Dict[str, jnp.ndarray]
+
+# Row count above which apply_mlp auto-remats (see apply_mlp docstring).
+_REMAT_ROWS = int(os.environ.get("ESR_MLP_REMAT_ROWS", str(256 * 1024)))
 
 
 def mlp_dtype_from_cfg(cfg):
@@ -65,8 +69,25 @@ def apply_mlp(
     x: jnp.ndarray,
     final_activation=None,
     compute_dtype: Optional[jnp.dtype] = None,
+    remat: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """ReLU MLP; optional final activation; optional bf16 compute."""
+    """ReLU MLP; optional final activation; optional bf16 compute.
+
+    ``remat`` (default: auto, on for >= ESR_MLP_REMAT_ROWS rows) wraps the
+    stack in ``jax.checkpoint`` so backward recomputes the hidden
+    activations instead of keeping them live. At the LTS/PDRA secondary
+    fan-out (~1M rows x 4-6 heads) the saved [M, hidden] f32 temps are
+    ~0.75 GB EACH — the PDRA train step exceeded 16 GB HBM by 1.7 GB from
+    exactly these (XLA's own rematerializer still kept six alive), while
+    the recompute is a few extra tiny-matmul passes on an otherwise idle
+    MXU."""
+    if remat is None:
+        remat = x.ndim == 2 and x.shape[0] >= _REMAT_ROWS
+    if remat:
+        fn = jax.checkpoint(
+            lambda p, y: apply_mlp(p, y, final_activation, compute_dtype,
+                                   remat=False))
+        return fn(params, x)
     L = n_layers(params)
     out_dtype = x.dtype
     if compute_dtype is not None:
