@@ -56,10 +56,12 @@ def main():
             # around the ball surface; ~64 samples per crossing at step
             # 0.5). Overflow is asserted 0 below — without the band cull
             # the fully-occupied ball interior needed 384/ray
+            # 128/96 measured r3: overflow 0 with k1_frac 0.59/0.43 —
+            # the 256/160 r2 budgets ran at 0.30/0.26 utilization
             "app.model.points_budget_masked_per_ray="
-            + os.environ.get("BENCH_MASKED_PER_RAY", "256"),
+            + os.environ.get("BENCH_MASKED_PER_RAY", "128"),
             "app.model.points_budget_masked_per_2ndray="
-            + os.environ.get("BENCH_MASKED_PER_2NDRAY", "160"),
+            + os.environ.get("BENCH_MASKED_PER_2NDRAY", "96"),
         ],
         root_dir=REPO,
     )
