@@ -23,6 +23,9 @@ MLPParams = Dict[str, jnp.ndarray]
 
 # Row count above which apply_mlp auto-remats (see apply_mlp docstring).
 _REMAT_ROWS = int(os.environ.get("ESR_MLP_REMAT_ROWS", str(256 * 1024)))
+# Chunk height for the remat path's lax.map: bounds the backward's
+# rematerialized [chunk, hidden] activation temps (f32[128k,192] = 96 MB).
+_CHUNK_ROWS = int(os.environ.get("ESR_MLP_REMAT_CHUNK", str(128 * 1024)))
 
 
 def mlp_dtype_from_cfg(cfg):
@@ -87,6 +90,20 @@ def apply_mlp(
         fn = jax.checkpoint(
             lambda p, y: apply_mlp(p, y, final_activation, compute_dtype,
                                    remat=False))
+        M = x.shape[0]
+        if x.ndim == 2 and M > _CHUNK_ROWS:
+            # lax.map over fixed-height chunks: the checkpoint backward
+            # then rematerializes one chunk's activations at a time
+            # instead of the whole [M, hidden] stack at once (the PDRA
+            # fan-out still held ~2.3 GB of per-head remat temps with a
+            # single checkpoint over M=2^20). Row-wise identical; only
+            # the dw accumulation order changes (f32 adds).
+            K = -(-M // _CHUNK_ROWS)
+            xp = jnp.pad(x, ((0, K * _CHUNK_ROWS - M), (0, 0)))
+            out = jax.lax.map(
+                lambda y: fn(params, y),
+                xp.reshape(K, _CHUNK_ROWS, x.shape[1]))
+            return out.reshape(K * _CHUNK_ROWS, -1)[:M]
         return fn(params, x)
     L = n_layers(params)
     out_dtype = x.dtype

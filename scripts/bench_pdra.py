@@ -60,9 +60,13 @@ def main():
             "data.cls=esrnerf.ESRNeRF", "data.root=unused", "data.scene=unused",
             f"app.trainer.uncert_batch_size={batch}",
             f"app.trainer.cert_batch_size={batch}",
-            # same band-cull-sized budgets as bench_lts (overflow asserted 0)
-            "app.model.points_budget_masked_per_ray=256",
-            "app.model.points_budget_masked_per_2ndray=160",
+            # same band-cull-sized budgets as bench_lts (overflow asserted
+            # 0; 128/96 measured r3 at k1_frac 0.59/0.43 — and the double
+            # -pool step only fits 16 GB HBM at the tightened budgets)
+            "app.model.points_budget_masked_per_ray="
+            + os.environ.get("BENCH_MASKED_PER_RAY", "128"),
+            "app.model.points_budget_masked_per_2ndray="
+            + os.environ.get("BENCH_MASKED_PER_2NDRAY", "96"),
         ],
         root_dir=REPO,
     )

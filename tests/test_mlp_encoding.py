@@ -41,6 +41,38 @@ def test_mlp_matches_torch_forward():
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_mlp_remat_chunked_parity(monkeypatch):
+    """The chunked-remat path (lax.map over fixed-height chunks, engaged for
+    M > ESR_MLP_REMAT_CHUNK rows) must match the plain path to fp32
+    reassociation tolerance (chunking changes XLA's matmul tiling and
+    reorders the f32 dw partial sums). Includes a non-divisible M to cover the
+    pad-tail (pad rows' cotangents are discarded by the [:M] slice, so they
+    must not leak into param grads)."""
+    dims = [6, 32, 4]
+    params = mlp.init_mlp(jax.random.PRNGKey(3), dims)
+    for M in (96, 100):  # 96 = 3 full chunks; 100 exercises the pad tail
+        x = jnp.asarray(
+            np.random.default_rng(M).normal(size=(M, 6)).astype(np.float32))
+
+        def loss(p, chunked):
+            if chunked:
+                monkeypatch.setattr(mlp, "_REMAT_ROWS", 64)
+                monkeypatch.setattr(mlp, "_CHUNK_ROWS", 32)
+            else:
+                monkeypatch.setattr(mlp, "_REMAT_ROWS", 1 << 30)
+            out = mlp.apply_mlp(p, x, final_activation=jax.nn.sigmoid)
+            return (out * jnp.arange(M * 4).reshape(M, 4)).sum(), out
+
+        (l0, o0), g0 = jax.value_and_grad(loss, has_aux=True)(params, False)
+        (l1, o1), g1 = jax.value_and_grad(loss, has_aux=True)(params, True)
+        np.testing.assert_allclose(
+            np.asarray(o0), np.asarray(o1), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(g0[k]), np.asarray(g1[k]), rtol=2e-5, atol=2e-5)
+
+
 def test_mlp_init_statistics_match_torch_linear():
     params = mlp.init_mlp(jax.random.PRNGKey(1), [256, 128])
     w = np.asarray(params["w0"])
