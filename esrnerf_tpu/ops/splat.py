@@ -363,7 +363,11 @@ sorted_gather_rows.defvjp(_sorted_gather_rows_fwd, _sorted_gather_rows_bwd)
 # bigger chunks amortize it; the cost is coarser locality (more table span
 # per chunk) and coarser n_valid pad skipping.
 _GCH = int(__import__("os").environ.get("ESR_GATHER_CHUNK", 2048))
-_GCAP = 98304        # table rows resident per piece (covers YZ+Z+1 @ 256^3)
+# weighted-path piece height: table rows resident per piece (the default
+# covers a YZ+Z+1 corner span at 256^3). Taller pieces amortize the fixed
+# per-piece cost but hold gcap*C*4 B of VMEM (C=6 @ 98304 = 2.4 MB).
+_GCAP = int(__import__("os").environ.get("ESR_GATHER_PIECE", 98304))
+assert _GCAP % _GROUP == 0, "ESR_GATHER_PIECE must be a multiple of 128"
 # raw C=1 tap gathers can afford much taller pieces in VMEM (rows are 4 B);
 # fewer pieces amortize whatever the measured ~1.4 ms/piece fixed cost is
 _GCAP_RAW = int(__import__("os").environ.get("ESR_GATHER_PIECE_RAW", 98304))
