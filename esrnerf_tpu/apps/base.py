@@ -16,6 +16,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from esrnerf_tpu.models import mlp as mlpops
 from esrnerf_tpu.utils.logging import Logger, tqdm_safe
 
 
@@ -259,7 +260,19 @@ class AppClass:
             for k in [k for k in cache
                       if k[0] == name and k[1] != id(self.renderer)]:
                 del cache[k]
-            cache[key] = build()
+            fn = build()
+
+            # Every cached_jit site is a forward-only eval path (train
+            # steps jit directly in _build_train_step / the relight
+            # finetune); trace them under mlp.inference_mode so the
+            # large-M auto-remat — which only pays under a backward —
+            # doesn't serialize eval sweeps into lax.map chunks. The
+            # wrapper covers the first call, where jit actually traces.
+            def fn_inference(*args, _fn=fn, **kw):
+                with mlpops.inference_mode():
+                    return _fn(*args, **kw)
+
+            cache[key] = fn_inference
         return cache[key]
 
     def get_logger(self) -> Logger:

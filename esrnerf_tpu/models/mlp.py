@@ -27,6 +27,33 @@ _REMAT_ROWS = int(os.environ.get("ESR_MLP_REMAT_ROWS", str(256 * 1024)))
 # rematerialized [chunk, hidden] activation temps (f32[128k,192] = 96 MB).
 _CHUNK_ROWS = int(os.environ.get("ESR_MLP_REMAT_CHUNK", str(128 * 1024)))
 
+# Trace-time override: under inference_mode() the auto-remat heuristic is
+# disabled — remat only pays when a backward would otherwise keep the
+# [M, hidden] activations live; on forward-only eval sweeps (eval_emit,
+# lts_eval_chunk, relight forwards) the chunked lax.map just serializes
+# work that could run as one full-batch stack of matmuls.
+_INFERENCE = False
+
+
+class inference_mode:
+    """Context manager: apply_mlp traced inside skips auto-remat.
+
+    Wraps the *call* of a jitted eval function (trace happens on first
+    invocation), so eval graphs keep full-batch MLP parallelism while
+    train steps — traced outside the context — keep the HBM-saving remat.
+    """
+
+    def __enter__(self):
+        global _INFERENCE
+        self._old = _INFERENCE
+        _INFERENCE = True
+        return self
+
+    def __exit__(self, *exc):
+        global _INFERENCE
+        _INFERENCE = self._old
+        return False
+
 
 def mlp_dtype_from_cfg(cfg):
     """MXU compute dtype for the renderer heads from system.compute_dtype:
@@ -85,7 +112,7 @@ def apply_mlp(
     the recompute is a few extra tiny-matmul passes on an otherwise idle
     MXU."""
     if remat is None:
-        remat = x.ndim == 2 and x.shape[0] >= _REMAT_ROWS
+        remat = (not _INFERENCE) and x.ndim == 2 and x.shape[0] >= _REMAT_ROWS
     if remat:
         fn = jax.checkpoint(
             lambda p, y: apply_mlp(p, y, final_activation, compute_dtype,
@@ -97,13 +124,19 @@ def apply_mlp(
             # instead of the whole [M, hidden] stack at once (the PDRA
             # fan-out still held ~2.3 GB of per-head remat temps with a
             # single checkpoint over M=2^20). Row-wise identical; only
-            # the dw accumulation order changes (f32 adds).
-            K = -(-M // _CHUNK_ROWS)
-            xp = jnp.pad(x, ((0, K * _CHUNK_ROWS - M), (0, 0)))
+            # the dw accumulation order changes (f32 adds). The ragged
+            # tail runs as one separate call instead of padding x — a
+            # jnp.pad here would transiently duplicate the [M, D] input.
+            K = M // _CHUNK_ROWS
+            body = x[: K * _CHUNK_ROWS]
             out = jax.lax.map(
                 lambda y: fn(params, y),
-                xp.reshape(K, _CHUNK_ROWS, x.shape[1]))
-            return out.reshape(K * _CHUNK_ROWS, -1)[:M]
+                body.reshape(K, _CHUNK_ROWS, x.shape[1]))
+            out = out.reshape(K * _CHUNK_ROWS, -1)
+            if M > K * _CHUNK_ROWS:
+                tail = fn(params, x[K * _CHUNK_ROWS:])
+                out = jnp.concatenate([out, tail], axis=0)
+            return out
         return fn(params, x)
     L = n_layers(params)
     out_dtype = x.dtype

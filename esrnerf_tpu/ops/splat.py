@@ -367,12 +367,18 @@ _GCH = int(__import__("os").environ.get("ESR_GATHER_CHUNK", 2048))
 # covers a YZ+Z+1 corner span at 256^3). Taller pieces amortize the fixed
 # per-piece cost but hold gcap*C*4 B of VMEM (C=6 @ 98304 = 2.4 MB).
 _GCAP = int(__import__("os").environ.get("ESR_GATHER_PIECE", 98304))
-assert _GCAP % _GROUP == 0, "ESR_GATHER_PIECE must be a multiple of 128"
+if _GCAP % _GROUP != 0:
+    # hard error, not assert: stripped under python -O this would reach the
+    # kernel, whose piece-count/padding math (and the out-of-bounds-read
+    # guarantees discussed at the piece loop below) assumes _GROUP alignment
+    raise ValueError(f"ESR_GATHER_PIECE={_GCAP} must be a multiple of {_GROUP}")
 # raw C=1 tap gathers can afford much taller pieces in VMEM (rows are 4 B);
 # fewer pieces amortize whatever the measured ~1.4 ms/piece fixed cost is
 _GCAP_RAW = int(__import__("os").environ.get("ESR_GATHER_PIECE_RAW", 98304))
 # misaligned pieces would shift every tap in pieces p>=1 by gcap %% 128 rows
-assert _GCAP_RAW % _GROUP == 0, "ESR_GATHER_PIECE_RAW must be a multiple of 128"
+if _GCAP_RAW % _GROUP != 0:
+    raise ValueError(
+        f"ESR_GATHER_PIECE_RAW={_GCAP_RAW} must be a multiple of {_GROUP}")
 # Below this many points the plain XLA row gather wins outright: the kernel's
 # cost scales with the chunk's table span (a *scattered* 2048-point set — the
 # LTS surface points — spans the whole 16.7M-row grid: ~170 piece sweeps,

@@ -82,3 +82,32 @@ def test_mlp_init_statistics_match_torch_linear():
 
     params = mlp.init_mlp(jax.random.PRNGKey(2), [8, 8, 5], zero_final_bias=True)
     assert np.all(np.asarray(params["b1"]) == 0)
+
+
+def test_mlp_inference_mode_skips_auto_remat(monkeypatch):
+    """Under mlp.inference_mode() (how cached_jit traces every eval-path
+    fn) the large-M auto-remat heuristic is off — forward-only sweeps keep
+    full-batch parallelism — while an explicit remat=True still engages,
+    and the outputs are identical either way."""
+    monkeypatch.setattr(mlp, "_REMAT_ROWS", 16)
+    params = mlp.init_mlp(jax.random.PRNGKey(7), [4, 8, 2])
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(64, 4)).astype(np.float32))
+
+    calls = []
+    orig = mlp.apply_mlp
+
+    def spy(p, y, *a, **kw):
+        calls.append(kw.get("remat"))
+        return orig(p, y, *a, **kw)
+
+    monkeypatch.setattr(mlp, "apply_mlp", spy)
+    with mlp.inference_mode():
+        out_inf = orig(params, x)
+        # the auto-heuristic must not have recursed through the remat
+        # wrapper (which calls apply_mlp(remat=False) per chunk)
+        assert calls == []
+        assert mlp._INFERENCE
+    assert not mlp._INFERENCE
+    out_plain = orig(params, x)
+    np.testing.assert_array_equal(np.asarray(out_inf), np.asarray(out_plain))

@@ -257,7 +257,11 @@ def test_alphamask_then_coarse(scene_root, tmp_path):
         "fine/train_srgb_PSNR": (psnrs3[-1], 0.15),
         "lts/train_emo_MSE": pct(lts_losses[-1]),
         "pdra/IoU": (iou[-1]["test_nv/metric/etc/IoU"], 0.02),
-        "pdra/n_certain": (float(a5.sampler.cert_data_num), 2.0),
+        # threshold-crossing count: rays near the certainty threshold can
+        # flip under benign f32 reduction-order changes (e.g. a jaxlib
+        # upgrade), so tolerate ~1% of the count rather than an absolute 2
+        "pdra/n_certain": (float(a5.sampler.cert_data_num),
+                           max(2.0, 0.01 * float(a5.sampler.cert_data_num))),
         "relight/lin_PSNR": (float(np.mean(relight_psnr)), 0.15),
     }
     for stage, logdir in (("fine", cfg3.log["dir"]), ("lts", cfg4.log["dir"]),
