@@ -808,6 +808,95 @@ sorted_trilinear_sample.defvjp(
 )
 
 
+@jax.custom_vjp
+def sorted_trilinear_sample_multi(grids, pts_sorted, xyz_min, xyz_max,
+                                  n_valid=None):
+    """Sample SEVERAL same-resolution grids at the same cell-sorted points
+    through ONE chunk-major gather: the kernel's cost is per-matmul-issue
+    and independent of the channel count (PERF.md cost law), so k grids
+    cost ~1 gather instead of k. ``grids`` is a tuple of [X,Y,Z,C_i]
+    arrays; returns a tuple of [M, C_i] outputs.
+
+    The backward splats each grid's cotangent slice SEPARATELY by default
+    (three fold-capped 536 MB transients beat one 1.6 GB table on the
+    HBM-tight PDRA double-batch step); set ``ESR_SPLAT_MULTI_BWD_CAP`` to
+    a byte budget > the fused [n_cells, cpad(sum C_i)] table to fuse the
+    backward sweeps too (one per-block sweep instead of k).
+
+    Used by the LTS/PDRA fan-out where off_color/emo_color/brdf are all
+    sampled at the march points (reference esrnerf.py:487-679 samples the
+    k0 grids independently; the fusion is a TPU cost-law optimization with
+    bitwise-identical results)."""
+    return _sorted_trilinear_sample_multi_impl(
+        grids, pts_sorted, xyz_min, xyz_max, n_valid
+    )
+
+
+def _sorted_trilinear_sample_multi_impl(grids, pts_sorted, xyz_min, xyz_max,
+                                        n_valid=None):
+    cat = jnp.concatenate(grids, -1)
+    out = _sorted_trilinear_sample_impl(cat, pts_sorted, xyz_min, xyz_max,
+                                        n_valid)
+    splits = list(np.cumsum([g.shape[-1] for g in grids])[:-1])
+    return tuple(jnp.split(out, splits, axis=-1))
+
+
+def _sorted_trilinear_sample_multi_fwd(grids, pts_sorted, xyz_min, xyz_max,
+                                       n_valid=None):
+    out = _sorted_trilinear_sample_multi_impl(grids, pts_sorted, xyz_min,
+                                              xyz_max, n_valid)
+    return out, (tuple(g.shape for g in grids), pts_sorted, xyz_min, xyz_max,
+                 n_valid)
+
+
+def _sorted_trilinear_sample_multi_bwd(res, cts):
+    import os
+
+    shapes, pts, xyz_min, xyz_max, n_valid = res
+    n_cells = shapes[0][0] * shapes[0][1] * shapes[0][2]
+    cap = int(os.environ.get("ESR_SPLAT_MULTI_BWD_CAP", 0))
+    cpad = lambda c: -(-c // 8) * 8
+
+    # greedy-group adjacent grids while the fused fold=1 shear table fits
+    # the byte budget; default budget 0 => every grid splats alone (the
+    # memory-neutral configuration)
+    groups, cur, cur_c = [], [], 0
+    for i, sh in enumerate(shapes):
+        c = sh[3]
+        if cur and n_cells * cpad(cur_c + c) * 4 > cap:
+            groups.append(cur)
+            cur, cur_c = [], 0
+        cur.append(i)
+        cur_c += c
+    groups.append(cur)
+
+    dgrids = [None] * len(shapes)
+    for grp in groups:
+        ct_g = (cts[grp[0]] if len(grp) == 1
+                else jnp.concatenate([cts[i] for i in grp], -1))
+        c_g = sum(shapes[i][3] for i in grp)
+        dg = trilinear_splat(
+            (*shapes[grp[0]][:3], c_g), pts, ct_g, xyz_min, xyz_max,
+            assume_sorted=True, n_valid=n_valid,
+        )
+        if len(grp) == 1:
+            dgrids[grp[0]] = dg
+        else:
+            off = 0
+            for i in grp:
+                dgrids[i] = dg[..., off:off + shapes[i][3]]
+                off += shapes[i][3]
+
+    return (tuple(dgrids), jnp.zeros_like(pts), jnp.zeros_like(xyz_min),
+            jnp.zeros_like(xyz_max),
+            None if n_valid is None else jnp.zeros_like(n_valid))
+
+
+sorted_trilinear_sample_multi.defvjp(
+    _sorted_trilinear_sample_multi_fwd, _sorted_trilinear_sample_multi_bwd
+)
+
+
 def displaced_taps_splat(
     grid_shape: Sequence[int],
     pts: jnp.ndarray,

@@ -149,6 +149,53 @@ def test_sorted_trilinear_sample_matches_grid_sample():
     )
 
 
+@pytest.mark.parametrize("bwd_cap", [0, 10**9])
+def test_sorted_trilinear_sample_multi_matches_separate(bwd_cap,
+                                                        monkeypatch):
+    """The fused multi-grid gather (one kernel sweep for off/emo/brdf)
+    must match per-grid sorted_trilinear_sample in both the forward and
+    the per-grid backward splats — under the default split backward AND
+    the ESR_SPLAT_MULTI_BWD_CAP fused backward."""
+    monkeypatch.setenv("ESR_SPLAT_MULTI_BWD_CAP", str(bwd_cap))
+    rng = np.random.default_rng(11)
+    shape3 = (10, 9, 8)
+    widths = (5, 3, 6)
+    grids = tuple(
+        jnp.asarray(rng.standard_normal((*shape3, c)).astype(np.float32))
+        for c in widths
+    )
+    pts = rng.uniform(0.001, 0.999, size=(500, 3)).astype(np.float32)
+    idx = np.floor(pts * (np.array(shape3) - 1)).astype(np.int64)
+    base = (idx[:, 0] * shape3[1] + idx[:, 1]) * shape3[2] + idx[:, 2]
+    pts = jnp.asarray(pts[np.argsort(base)])
+    mn, mx = jnp.zeros(3), jnp.ones(3)
+    n_valid = jnp.int32(470)  # exercise the pad-chunk contract too
+
+    outs, vjp = jax.vjp(
+        lambda gs: splatops.sorted_trilinear_sample_multi(
+            gs, pts, mn, mx, n_valid),
+        grids,
+    )
+    cts = tuple(
+        jnp.asarray(rng.standard_normal(o.shape).astype(np.float32))
+        for o in outs
+    )
+    (dgrids,) = vjp(cts)
+
+    for g, o, ct, dg in zip(grids, outs, cts, dgrids):
+        want, vjp_ref = jax.vjp(
+            lambda gg: splatops.sorted_trilinear_sample(
+                gg, pts, mn, mx, n_valid),
+            g,
+        )
+        np.testing.assert_allclose(np.asarray(o), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(dg), np.asarray(vjp_ref(ct)[0]),
+            rtol=2e-4, atol=2e-5,
+        )
+
+
 def test_sorted_gather_raw_and_unsorted_locality():
     """raw=True returns per-offset values; order only needs locality."""
     rng = np.random.default_rng(7)
