@@ -153,25 +153,28 @@ class ESRNeRF(VoxurfF):
 
     def _brdf_heads(self, params, pts, brdf_feat,
                     emit_grid_key: str = "emo_color", sorted_pts=False,
-                    n_valid=None):
+                    n_valid=None, grid_vals=None):
         """BRDFNet (sigmoid, split 3/1/1) + EmissionNet (softplus)
         (reference esrnerf.py:761-765). ``emit_grid_key`` switches between
-        the live emo grid and the frozen finetune snapshot (emit_color)."""
-        if sorted_pts:
-            samp = lambda g, p: self.geo.sample_grid_sorted(g, p, n_valid)
+        the live emo grid and the frozen finetune snapshot (emit_color).
+        ``grid_vals``: pre-fetched (brdf, emit-grid) samples from a fused
+        multi-grid gather (sample_grids_sorted)."""
+        if grid_vals is not None:
+            brdf_val, emit_val = grid_vals
         else:
-            samp = self.geo.sample_grid
-        bx = jnp.concatenate(
-            [samp(params["brdf"], pts), brdf_feat], -1
-        )
+            if sorted_pts:
+                samp = lambda g, p: self.geo.sample_grid_sorted(g, p, n_valid)
+            else:
+                samp = self.geo.sample_grid
+            brdf_val = samp(params["brdf"], pts)
+            emit_val = samp(params[emit_grid_key], pts)
+        bx = jnp.concatenate([brdf_val, brdf_feat], -1)
         brdf_out = jax.nn.sigmoid(mlpops.apply_mlp(params["brdfnet"], bx,
                                            compute_dtype=self.mlp_dtype))
         basecolor, roughness, metallic = (
             brdf_out[:, :3], brdf_out[:, 3:4], brdf_out[:, 4:5]
         )
-        ex = jnp.concatenate(
-            [samp(params[emit_grid_key], pts), brdf_feat], -1
-        )
+        ex = jnp.concatenate([emit_val, brdf_feat], -1)
         emit = jax.nn.softplus(mlpops.apply_mlp(
             params["emitnet"], ex, compute_dtype=self.mlp_dtype))
         return basecolor, roughness, metallic, emit
@@ -201,10 +204,15 @@ class ESRNeRF(VoxurfF):
         rid = jnp.minimum(m.ray_id, Nsec - 1)
         feat = self._features(params, m.pts, dirs[rid], m.sdf,
                               n_valid=m.n_valid)
+        # one fused gather for all head color grids (cost-law win: the
+        # kernel's sweep cost is independent of channel count)
+        gvs = geo.sample_grids_sorted(
+            tuple(params[f"{h}_color"] for h in heads), m.pts, m.n_valid
+        )
         out = {}
-        for h in heads:
+        for h, gv in zip(heads, gvs):
             lin = self._radiance(params, h, m.pts, feat, sorted_pts=True,
-                                 n_valid=m.n_valid)
+                                 n_valid=m.n_valid, grid_val=gv)
             out[h] = geo.segment_to_rays(m, lin)
         stats = jnp.stack([m.overflow, m.k1_frac, m.k2_frac])
         return out, m.alphainv_last, stats
@@ -337,10 +345,16 @@ class ESRNeRF(VoxurfF):
         feat = self._features(params, m.pts, viewdirs[rid], m.sdf,
                               n_valid=m.n_valid)
         on_mask = ((em_modes[rid] == 1) & ~m.pad)[:, None]
+        # all four k0-grid reads at the march points ride ONE fused gather
+        # (off/emo radiance + brdf + emission, which reuses the emo grid)
+        off_gv, emo_gv, brdf_gv = geo.sample_grids_sorted(
+            (params["off_color"], params["emo_color"], params["brdf"]),
+            m.pts, m.n_valid,
+        )
         off = self._radiance(params, "off", m.pts, feat, sorted_pts=True,
-                             n_valid=m.n_valid)
+                             n_valid=m.n_valid, grid_val=off_gv)
         emo = self._radiance(params, "emo", m.pts, feat, sorted_pts=True,
-                             n_valid=m.n_valid)
+                             n_valid=m.n_valid, grid_val=emo_gv)
         # on rays: emo + off (NOT detached here — reference esrnerf.py:751-757
         # adds off without detach, unlike VoxurfF)
         lin_rgb = jnp.where(on_mask, emo + off, off)
@@ -348,7 +362,8 @@ class ESRNeRF(VoxurfF):
 
         brdf_feat = self._brdf_feat(params, m.pts, m.sdf, n_valid=m.n_valid)
         basecolor, roughness, metallic, emit = self._brdf_heads(
-            params, m.pts, brdf_feat, sorted_pts=True, n_valid=m.n_valid
+            params, m.pts, brdf_feat, sorted_pts=True, n_valid=m.n_valid,
+            grid_vals=(brdf_gv, emo_gv),
         )
 
         rgb_m = geo.segment_to_rays(m, rgb)
@@ -429,10 +444,18 @@ class ESRNeRF(VoxurfF):
         feat = self._features(params, m.pts, viewdirs[rid], m.sdf,
                               n_valid=m.n_valid)
 
+        fuse_keys = ["off_color", "emo_color", "brdf"]
+        if emit_grid_key != "emo_color":
+            fuse_keys.append(emit_grid_key)
+        gvs = geo.sample_grids_sorted(
+            tuple(params[k] for k in fuse_keys), m.pts, m.n_valid
+        )
+        off_gv, emo_gv, brdf_gv = gvs[:3]
+        emit_gv = gvs[3] if emit_grid_key != "emo_color" else emo_gv
         lin_off = self._radiance(params, "off", m.pts, feat, sorted_pts=True,
-                                 n_valid=m.n_valid)
+                                 n_valid=m.n_valid, grid_val=off_gv)
         lin_emo = self._radiance(params, "emo", m.pts, feat, sorted_pts=True,
-                                 n_valid=m.n_valid)
+                                 n_valid=m.n_valid, grid_val=emo_gv)
         lin_on = lin_off + lin_emo
         off = self.apply_tonemapper(params, lin_off)
         emo = self.apply_tonemapper(params, lin_emo)
@@ -442,6 +465,7 @@ class ESRNeRF(VoxurfF):
         basecolor, roughness, metallic, emit = self._brdf_heads(
             params, m.pts, brdf_feat, emit_grid_key=emit_grid_key,
             sorted_pts=True, n_valid=m.n_valid,
+            grid_vals=(brdf_gv, emit_gv),
         )
 
         _, grad_xyz = geo.sample_sdf_grad(params["sdf"], m.pts)

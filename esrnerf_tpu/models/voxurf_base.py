@@ -184,6 +184,13 @@ class VoxurfGeometry:
         # the per-ray transmittance error by S*e^-14 ~= 7e-4. 0 disables
         # (coarse stages, where s_val is small and the band covers all).
         self.surf_band_factor = float(m.get("surf_band_factor", 0.0))
+        # phase-1 occupancy granularity: test the 64^3 band mask once per
+        # BLK consecutive samples (block centers, via a 3^3-dilated mask),
+        # then re-test the exact per-sample mask on the compacted list —
+        # same survivor set, ~8x fewer candidate-grid gather rows and an
+        # ~8x smaller nonzero (the two dominated phase-1 device time at
+        # LTS shapes). 1 disables (bit-parity fallback).
+        self.phase1_block = int(m.get("phase1_block", 8))
 
     def set_grid_resolution(self, num_voxels: int) -> None:
         extent = self.xyz_max - self.xyz_min
@@ -261,6 +268,19 @@ class VoxurfGeometry:
 
         return splatops.sorted_trilinear_sample(
             grid, pts.reshape(-1, 3), jnp.asarray(self.xyz_min),
+            jnp.asarray(self.xyz_max), n_valid,
+        )
+
+    def sample_grids_sorted(self, grids, pts: jnp.ndarray, n_valid=None):
+        """Sample several same-resolution grids at the same cell-sorted
+        march points through ONE chunk-major gather (cost is independent of
+        channel count — PERF.md cost law). ``grids`` is a tuple of
+        [X,Y,Z,C_i]; returns a tuple of [M, C_i]. Results are bitwise
+        identical to per-grid :meth:`sample_grid_sorted` calls."""
+        from esrnerf_tpu.ops import splat as splatops
+
+        return splatops.sorted_trilinear_sample_multi(
+            tuple(grids), pts.reshape(-1, 3), jnp.asarray(self.xyz_min),
             jnp.asarray(self.xyz_max), n_valid,
         )
 
@@ -361,23 +381,83 @@ class VoxurfGeometry:
         K2 = k_budget or (N * self.points_per_ray)
         K1 = min(k1_budget or (N * self.points_per_ray_masked), N * S)
 
-        rs = self.sample_dense(rays_o, rays_d, near=near_override)
-        if self.surf_band_factor > 0:
+        # block-granular phase 1 (band configs only): the per-sample
+        # occupancy gather + N*S-element nonzero dominated phase-1 device
+        # time (~360 ms/step on the LTS secondary march at 22.8M
+        # candidates). Blocks of BLK consecutive samples are tested once
+        # at their center against a 3^3-dilated mask (conservative: every
+        # sample of a block lies < 1 64-cell from its center), surviving
+        # blocks are compacted and expanded, and the exact per-sample test
+        # runs on the compacted K1 list — the survivor set is identical.
+        BLK = self.phase1_block if self.surf_band_factor > 0 else 1
+        SB = -(-S // BLK)
+        Sp = SB * BLK  # dense-bridge row stride (block-padded sample axis)
+        K1 = min(-(-K1 // BLK) * BLK, N * Sp)
+
+        mn = jnp.asarray(self.xyz_min)
+        mx = jnp.asarray(self.xyz_max)
+        near_v = self.near if near_override is None else near_override
+        t_min, t_max = rayops.ray_aabb(rays_o, rays_d, mn, mx, near_v, 1e9)
+        rnorm = jnp.linalg.norm(rays_d, axis=-1)
+        n_steps = jnp.maximum(
+            jnp.ceil((t_max - t_min) * rnorm / self.stepdist), 1.0
+        )  # [N] per-ray marched count (sample_rays_dense parity)
+
+        if BLK > 1:
             occ = jax.lax.stop_gradient(
                 self.band_occ64(sdf_grid_smooth, s_val)
             )
-            sup = rs.valid & self.query_nearest64(occ, rs.pts)
-        else:
-            sup = rs.valid & self.mask_cache.query_nearest(rs.pts)
+            # block-conservative dilation radius: a block sample lies
+            # within halfspan of its center, so its 64-partition cell
+            # differs from the center's by at most floor(halfspan/cell)+1
+            # per axis (1 at 256^3 production shapes; coarser grids march
+            # bigger steps and need a wider pool)
+            halfspan = (BLK - 1) / 2 * self.stepdist
+            cell64 = float((self.xyz_max - self.xyz_min).min()) / 64.0
+            r = int(np.floor(halfspan / cell64)) + 1
+            occ_blk = gridops.max_pool_3d_same(
+                occ[..., None], 2 * r + 1)[..., 0]
+            sbc = (jnp.arange(SB, dtype=rays_o.dtype) * BLK
+                   + (BLK - 1) / 2)  # [SB] block-center step index
+            start = rays_o + rays_d * t_min[:, None]
+            dirn = rays_d / rnorm[:, None]
+            cpts = (start[:, None, :]
+                    + dirn[:, None, :] * (self.stepdist * sbc)[None, :, None])
+            blk_in = (sbc[None, :] - (BLK - 1) / 2) < n_steps[:, None]
+            sup_blk = blk_in & self.query_nearest64(occ_blk, cpts)  # [N, SB]
 
-        # ---- phase-1 compaction (order-preserving => ray-major sorted)
-        flat1 = sup.reshape(-1)
-        n1 = flat1.sum()
-        (idx1,) = jnp.nonzero(flat1, size=K1, fill_value=-1)
-        pad1 = idx1 < 0
-        idx1c = jnp.maximum(idx1, 0)
-        ray1 = jnp.where(pad1, N, idx1c // S)
-        step1 = jnp.where(pad1, 0, idx1c % S)
+            # ---- phase-1 compaction at block granularity (ray-major)
+            KB = K1 // BLK
+            n1 = sup_blk.sum() * BLK  # capacity units: blocks enter whole
+            (idxb,) = jnp.nonzero(sup_blk.reshape(-1), size=KB,
+                                  fill_value=-1)
+            padb = idxb < 0
+            idxbc = jnp.maximum(idxb, 0)
+            rayb = jnp.where(padb, N, idxbc // SB)
+            jj = jnp.arange(BLK, dtype=jnp.int32)
+            ray1 = jnp.repeat(rayb, BLK)  # [K1]
+            step1 = ((idxbc % SB) * BLK)[:, None] + jj[None, :]
+            step1 = jnp.where(padb[:, None], 0, step1).reshape(-1)
+            pad1 = jnp.repeat(padb, BLK)
+        else:
+            rs = self.sample_dense(rays_o, rays_d, near=near_override)
+            if self.surf_band_factor > 0:
+                occ = jax.lax.stop_gradient(
+                    self.band_occ64(sdf_grid_smooth, s_val)
+                )
+                sup = rs.valid & self.query_nearest64(occ, rs.pts)
+            else:
+                sup = rs.valid & self.mask_cache.query_nearest(rs.pts)
+
+            # ---- phase-1 compaction (order-preserving => ray-major sorted)
+            flat1 = sup.reshape(-1)
+            n1 = flat1.sum()
+            (idx1,) = jnp.nonzero(flat1, size=K1, fill_value=-1)
+            pad1 = idx1 < 0
+            idx1c = jnp.maximum(idx1, 0)
+            ray1 = jnp.where(pad1, N, idx1c // S)
+            step1 = jnp.where(pad1, 0, idx1c % S)
+
         # recompute compacted points from (ray, step) instead of gathering
         # rows of the dense [N*S, 3] pts array: the gather forced XLA to
         # materialize all N*S points in HBM (274 MB and ~0.9 s/step for the
@@ -385,10 +465,10 @@ class VoxurfGeometry:
         # dense pts fuse into the mask computation and never hit HBM. Same
         # float expression as sample_rays_dense (p = start + dirn*stepdist*s).
         r1c = jnp.minimum(ray1, N - 1)
-        rnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         ray_pack = jnp.concatenate(
-            [rays_o + rays_d * rs.t_min[:, None], rays_d / rnorm], -1
-        )  # [N, 6] (start, dirn) — ONE wide row gather (playbook rule 1)
+            [rays_o + rays_d * t_min[:, None], rays_d / rnorm[:, None],
+             n_steps[:, None]], -1
+        )  # [N, 7] (start, dirn, count) — ONE wide row gather (rule 1)
         rp = ray_pack[r1c]
         # per-component 1-D arithmetic: a [K1, 1] broadcast operand here
         # becomes a multiply_select fusion output that XLA tile-pads 128x
@@ -399,7 +479,18 @@ class VoxurfGeometry:
              rp[:, 1] + rp[:, 4] * sd,
              rp[:, 2] + rp[:, 5] * sd], -1)
 
-        exact = ~pad1 & self.mask_cache.query(pts1)
+        if BLK > 1:
+            # exact per-sample re-test on the compacted list: restores the
+            # per-sample semantics of the dense path bit-for-bit (validity
+            # + band-mask membership), at K1 rows instead of N*S
+            in_cnt = step1.astype(rays_o.dtype) < rp[:, 6]
+            in_bb = jnp.all((pts1 >= mn) & (pts1 <= mx), axis=-1)
+            samp_ok = ~pad1 & in_cnt & in_bb \
+                & self.query_nearest64(occ, pts1)
+        else:
+            samp_ok = ~pad1
+
+        exact = samp_ok & self.mask_cache.query(pts1)
         sdf1 = self.sample_grid(sdf_grid_smooth, pts1)[..., 0]  # [K1]
 
         # ---- dense scalar bridge: scatter the compacted scalars back to
@@ -409,8 +500,8 @@ class VoxurfGeometry:
         # lin is ascending (phase-1 compaction preserves ray-major order,
         # pads land in row N at the end), so the sorted splat kernel
         # applies (~3x faster than XLA's scatter lowering).
-        lin = jnp.minimum(ray1, N) * S + step1  # pads land in row N
-        dsize = (N + 1) * S
+        lin = jnp.minimum(ray1, N) * Sp + step1  # pads land in row N
+        dsize = (N + 1) * Sp
         nv1 = jnp.minimum(n1, K1).astype(jnp.int32)
 
         from esrnerf_tpu.ops import splat as splatops
@@ -418,7 +509,7 @@ class VoxurfGeometry:
         def to_dense(x, fill=0):
             assert fill == 0
             full = splatops.sorted_scatter_1d(lin, x, dsize, n_valid=nv1)
-            return full.reshape(N + 1, S)[:N]
+            return full.reshape(N + 1, Sp)[:N]
 
         if neus_alpha == "grad":
             assert gradient_grid is not None
@@ -447,7 +538,7 @@ class VoxurfGeometry:
             # 286 ms/step on the LTS secondary march
             dense2 = jnp.stack([a1_d, w1_d], -1).reshape(-1, 2)
             dense2 = jnp.concatenate(
-                [dense2, jnp.zeros((S, 2), dense2.dtype)]
+                [dense2, jnp.zeros((Sp, 2), dense2.dtype)]
             )
             flat2 = splatops.sorted_gather_rows(dense2, lin, n_valid=nv1)
             keep = (flat2[:, 1] > fastcolor_thres) & ~pad1
@@ -467,7 +558,7 @@ class VoxurfGeometry:
             # separate keep flag)
             dense3 = jnp.stack([alpha_d, w1_d, w_d], -1).reshape(-1, 3)
             dense3 = jnp.concatenate(
-                [dense3, jnp.zeros((S, 3), dense3.dtype)]
+                [dense3, jnp.zeros((Sp, 3), dense3.dtype)]
             )
             flat3 = splatops.sorted_gather_rows(dense3, lin, n_valid=nv1)
             keep = (flat3[:, 1] > fastcolor_thres) & ~pad1
@@ -520,8 +611,8 @@ class VoxurfGeometry:
         w_c = jnp.where(pad, 0.0, pack2[:, 3])
         a_c = jnp.where(pad, 0.0, pack2[:, 4])
         sdf_c = jnp.where(pad, 0.0, pack2[:, 5])
-        ray_c = jnp.where(pad, N, lin2 // S)
-        step_c = jnp.where(pad, 0, lin2 % S)
+        ray_c = jnp.where(pad, N, lin2 // Sp)
+        step_c = jnp.where(pad, 0, lin2 % Sp)
 
         cum_weights = jax.ops.segment_sum(w_c, ray_c, num_segments=N + 1)[:N]
         overflow = jnp.maximum(

@@ -153,13 +153,18 @@ class VoxurfF:
             params["tonemapper"], feat, compute_dtype=self.mlp_dtype))
 
     def _radiance(self, params, head: str, pts, feat, sorted_pts=False,
-                  n_valid=None):
-        grid = params[f"{head}_color"]
-        if sorted_pts:
-            samp = lambda g, p: self.geo.sample_grid_sorted(g, p, n_valid)
-        else:
-            samp = self.geo.sample_grid
-        x = jnp.concatenate([samp(grid, pts), feat], -1)
+                  n_valid=None, grid_val=None):
+        # grid_val: the head's color-grid samples when the caller already
+        # fetched them through a fused multi-grid gather (one kernel sweep
+        # for off/emo/brdf instead of three — see sample_grids_sorted)
+        if grid_val is None:
+            grid = params[f"{head}_color"]
+            if sorted_pts:
+                samp = lambda g, p: self.geo.sample_grid_sorted(g, p, n_valid)
+            else:
+                samp = self.geo.sample_grid
+            grid_val = samp(grid, pts)
+        x = jnp.concatenate([grid_val, feat], -1)
         return jax.nn.softplus(mlpops.apply_mlp(
             params[f"{head}_rgbnet"], x, compute_dtype=self.mlp_dtype))
 
@@ -181,10 +186,13 @@ class VoxurfF:
                               n_valid=m.n_valid)
         on_mask = ((em_modes[rid] == 1) & ~m.pad)[:, None]
 
+        off_gv, emo_gv = self.geo.sample_grids_sorted(
+            (params["off_color"], params["emo_color"]), m.pts, m.n_valid
+        )
         off = self._radiance(params, "off", m.pts, feat, sorted_pts=True,
-                             n_valid=m.n_valid)
+                             n_valid=m.n_valid, grid_val=off_gv)
         emo = self._radiance(params, "emo", m.pts, feat, sorted_pts=True,
-                             n_valid=m.n_valid)
+                             n_valid=m.n_valid, grid_val=emo_gv)
         lin_rgb = jnp.where(
             on_mask, emo + jax.lax.stop_gradient(off), off
         )
@@ -217,10 +225,13 @@ class VoxurfF:
         feat = self._features(params, m.pts, viewdirs[rid], m.sdf,
                               n_valid=m.n_valid)
 
+        off_gv, emo_gv = geo.sample_grids_sorted(
+            (params["off_color"], params["emo_color"]), m.pts, m.n_valid
+        )
         lin_off = self._radiance(params, "off", m.pts, feat, sorted_pts=True,
-                                 n_valid=m.n_valid)
+                                 n_valid=m.n_valid, grid_val=off_gv)
         lin_emo = self._radiance(params, "emo", m.pts, feat, sorted_pts=True,
-                                 n_valid=m.n_valid)
+                                 n_valid=m.n_valid, grid_val=emo_gv)
         lin_on = lin_off + lin_emo
         off = self.apply_tonemapper(params, lin_off)
         emo = self.apply_tonemapper(params, lin_emo)

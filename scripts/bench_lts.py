@@ -62,6 +62,11 @@ def main():
             + os.environ.get("BENCH_MASKED_PER_RAY", "128"),
             "app.model.points_budget_masked_per_2ndray="
             + os.environ.get("BENCH_MASKED_PER_2NDRAY", "96"),
+            # block-granular phase 1 (8 = default; 1 = per-sample parity
+            # path). Blocks enter K1 whole, so the primary budget needs
+            # ~10% headroom over the BLK=1 advisor numbers (128 -> 144).
+            "app.model.phase1_block="
+            + os.environ.get("BENCH_PHASE1_BLOCK", "8"),
         ],
         root_dir=REPO,
     )

@@ -180,6 +180,41 @@ def test_surf_band_cull_parity(geo):
     assert n_band < n_plain
 
 
+def test_phase1_block_bit_parity(geo):
+    """Block-granular phase 1 (phase1_block=8: block-center coarse test +
+    per-sample re-test on the compacted list) must produce the IDENTICAL
+    March as the dense per-sample path — same survivor set, same order,
+    same values — whenever neither budget truncates."""
+    import copy
+
+    X = Y = Z = 20
+    x, y, z = np.mgrid[-1:1:X * 1j, -1:1:Y * 1j, -1:1:Z * 1j]
+    sdf = ((x**2 + y**2 + z**2) ** 0.5 - 0.6).astype(np.float32)[..., None]
+    sdf_j = jnp.asarray(sdf)
+    o, d, vd = random_rays(48, seed=9)
+    s_val = 80.0
+
+    def run(blk):
+        g = copy.copy(geo)
+        g.surf_band_factor = 14.0
+        g.phase1_block = blk
+        return g.march(sdf_j, o, d, vd, s_val, 1e-4, "interp", style="fine")
+
+    m1 = run(1)
+    m8 = run(8)
+    assert float(m1.overflow) == 0.0 and float(m8.overflow) == 0.0
+    assert int(m1.n_valid) == int(m8.n_valid)
+    nv = int(m1.n_valid)
+    for field in ("pts", "ray_id", "step_id", "weights", "alpha", "sdf"):
+        a = np.asarray(getattr(m1, field))[:nv]
+        b = np.asarray(getattr(m8, field))[:nv]
+        np.testing.assert_array_equal(a, b, err_msg=field)
+    np.testing.assert_array_equal(np.asarray(m1.alphainv_last),
+                                  np.asarray(m8.alphainv_last))
+    np.testing.assert_array_equal(np.asarray(m1.cum_weights),
+                                  np.asarray(m8.cum_weights))
+
+
 def test_march_ray_slots_regroups_march(geo):
     """march_ray_slots == the march's surviving rows grouped per ray (the
     relight fine-tune precompute must be a pure re-layout)."""
