@@ -48,8 +48,13 @@ def main():
             "data.cls=esrnerf.ESRNeRF", "data.root=unused", "data.scene=unused",
             # the solid-ball bench scene needs a larger phase-1 budget than
             # the default (real scenes have thinner occupancy); overflow is
-            # asserted 0 below so the numbers reflect lossless marching
-            "app.model.points_budget_masked_per_ray=384",
+            # asserted 0 below so the numbers reflect lossless marching.
+            # Block-granular phase 1 admits whole blocks, so the budget
+            # carries ~10% halo headroom over the per-sample demand.
+            "app.model.points_budget_masked_per_ray="
+            + os.environ.get("BENCH_MASKED_PER_RAY", "432"),
+            "app.model.phase1_block="
+            + os.environ.get("BENCH_PHASE1_BLOCK", "8"),
         ],
         root_dir=REPO,
     )

@@ -184,13 +184,18 @@ class VoxurfGeometry:
         # the per-ray transmittance error by S*e^-14 ~= 7e-4. 0 disables
         # (coarse stages, where s_val is small and the band covers all).
         self.surf_band_factor = float(m.get("surf_band_factor", 0.0))
-        # phase-1 occupancy granularity: test the 64^3 band mask once per
-        # BLK consecutive samples (block centers, via a 3^3-dilated mask),
-        # then re-test the exact per-sample mask on the compacted list —
-        # same survivor set, ~8x fewer candidate-grid gather rows and an
-        # ~8x smaller nonzero (the two dominated phase-1 device time at
-        # LTS shapes). 1 disables (bit-parity fallback).
+        # phase-1 occupancy granularity: test the occupancy mask once per
+        # BLK consecutive samples (block centers, via a block-dilated
+        # mask), then re-test the exact per-sample mask on the compacted
+        # list — same survivor set, ~8x fewer candidate-grid gather rows
+        # and an ~8x smaller nonzero (the two dominated phase-1 device
+        # time at LTS shapes). Band configs dilate the per-step 64^3 band
+        # mask; no-band configs dilate the frozen occ_sup once per
+        # resolution (_rebuild_mask_blk). Blocks enter the K1 budget
+        # whole, so points_budget_masked_* needs ~10% headroom over the
+        # per-sample advisor numbers. 1 disables (bit-parity fallback).
         self.phase1_block = int(m.get("phase1_block", 8))
+        self._rebuild_mask_blk()
 
     def set_grid_resolution(self, num_voxels: int) -> None:
         extent = self.xyz_max - self.xyz_min
@@ -203,10 +208,54 @@ class VoxurfGeometry:
         # always march the full bbox span; reference voxurfc.py:550-581)
         diag = float(np.linalg.norm(np.asarray(self.world_size) + 1))
         self.n_samples = int(diag / self.stepsize) + 1
+        # stepdist changed => the no-band block-dilation radius changes
+        # (pg_scale re-jits call this mid-stage)
+        if hasattr(self, "phase1_block"):
+            self._rebuild_mask_blk()
 
     @property
     def stepdist(self) -> float:
         return self.stepsize * self.voxel_size
+
+    def _rebuild_mask_blk(self) -> None:
+        """Precompute the block-dilated ``occ_sup`` for the no-band
+        block-granular phase 1 (band configs instead dilate the per-step
+        band mask inside :meth:`march`).
+
+        Conservative: a block sample lies within ``halfspan`` of its
+        center along the ray, so in occ index space (one unit =
+        ``extent/(n-1)`` world) its rounded cell differs from the
+        center's by at most ``floor(halfspan/cell)+1`` per axis. occ_sup
+        is frozen for the stage, so one eager ``reduce_window`` here
+        covers every step."""
+        self._mask_sup_blk = None
+        if self.phase1_block <= 1 or self.surf_band_factor > 0:
+            return
+        mc = self.mask_cache
+        X, Y, Z = mc.density.shape[:3]
+        ext = np.asarray(mc.xyz_max) - np.asarray(mc.xyz_min)
+        halfspan = (self.phase1_block - 1) / 2 * self.stepdist
+        win = tuple(
+            2 * (int(np.floor(halfspan * (n - 1) / e)) + 1) + 1
+            for n, e in zip((X, Y, Z), ext)
+        )
+        self._mask_sup_blk = jax.lax.reduce_window(
+            mc.occ_sup, 0.0, jax.lax.max, win, (1, 1, 1), "SAME"
+        )
+
+    def _query_nearest_blk(self, xyz: jnp.ndarray):
+        """:meth:`MaskCache.query_nearest` against the block-dilated
+        table — the block-center coarse test of the no-band phase 1."""
+        mc = self.mask_cache
+        X, Y, Z = mc.density.shape[:3]
+        idx = gridops.normalized_index(
+            xyz.reshape(-1, 3), mc.xyz_min, mc.xyz_max, (X, Y, Z)
+        )
+        i = jnp.round(idx).astype(jnp.int32) + 1  # pad offset
+        i = jnp.clip(i, 0, jnp.asarray([X + 1, Y + 1, Z + 1], jnp.int32))
+        lin = (i[:, 0] * (Y + 2) + i[:, 1]) * (Z + 2) + i[:, 2]
+        occ = jnp.take(self._mask_sup_blk.reshape(-1), lin) > 0.0
+        return occ.reshape(xyz.shape[:-1])
 
     # -------------------------------------------------------------- helpers
 
@@ -381,15 +430,18 @@ class VoxurfGeometry:
         K2 = k_budget or (N * self.points_per_ray)
         K1 = min(k1_budget or (N * self.points_per_ray_masked), N * S)
 
-        # block-granular phase 1 (band configs only): the per-sample
-        # occupancy gather + N*S-element nonzero dominated phase-1 device
-        # time (~360 ms/step on the LTS secondary march at 22.8M
-        # candidates). Blocks of BLK consecutive samples are tested once
-        # at their center against a 3^3-dilated mask (conservative: every
-        # sample of a block lies < 1 64-cell from its center), surviving
-        # blocks are compacted and expanded, and the exact per-sample test
-        # runs on the compacted K1 list — the survivor set is identical.
-        BLK = self.phase1_block if self.surf_band_factor > 0 else 1
+        # block-granular phase 1: the per-sample occupancy gather +
+        # N*S-element nonzero dominated phase-1 device time (~360 ms/step
+        # on the LTS secondary march at 22.8M candidates). Blocks of BLK
+        # consecutive samples are tested once at their center against a
+        # block-dilated mask (conservative), surviving blocks are
+        # compacted and expanded, and the exact per-sample test runs on
+        # the compacted K1 list — the survivor set is identical. Band
+        # configs dilate the per-step 64^3 band mask here; no-band
+        # configs use the precomputed full-res table (_rebuild_mask_blk).
+        BLK = self.phase1_block if (
+            self.surf_band_factor > 0 or self._mask_sup_blk is not None
+        ) else 1
         SB = -(-S // BLK)
         Sp = SB * BLK  # dense-bridge row stride (block-padded sample axis)
         K1 = min(-(-K1 // BLK) * BLK, N * Sp)
@@ -404,19 +456,6 @@ class VoxurfGeometry:
         )  # [N] per-ray marched count (sample_rays_dense parity)
 
         if BLK > 1:
-            occ = jax.lax.stop_gradient(
-                self.band_occ64(sdf_grid_smooth, s_val)
-            )
-            # block-conservative dilation radius: a block sample lies
-            # within halfspan of its center, so its 64-partition cell
-            # differs from the center's by at most floor(halfspan/cell)+1
-            # per axis (1 at 256^3 production shapes; coarser grids march
-            # bigger steps and need a wider pool)
-            halfspan = (BLK - 1) / 2 * self.stepdist
-            cell64 = float((self.xyz_max - self.xyz_min).min()) / 64.0
-            r = int(np.floor(halfspan / cell64)) + 1
-            occ_blk = gridops.max_pool_3d_same(
-                occ[..., None], 2 * r + 1)[..., 0]
             sbc = (jnp.arange(SB, dtype=rays_o.dtype) * BLK
                    + (BLK - 1) / 2)  # [SB] block-center step index
             start = rays_o + rays_d * t_min[:, None]
@@ -424,7 +463,25 @@ class VoxurfGeometry:
             cpts = (start[:, None, :]
                     + dirn[:, None, :] * (self.stepdist * sbc)[None, :, None])
             blk_in = (sbc[None, :] - (BLK - 1) / 2) < n_steps[:, None]
-            sup_blk = blk_in & self.query_nearest64(occ_blk, cpts)  # [N, SB]
+            if self.surf_band_factor > 0:
+                occ = jax.lax.stop_gradient(
+                    self.band_occ64(sdf_grid_smooth, s_val)
+                )
+                # block-conservative dilation radius: a block sample lies
+                # within halfspan of its center, so its 64-partition cell
+                # differs from the center's by at most
+                # floor(halfspan/cell)+1 per axis (1 at 256^3 production
+                # shapes; coarser grids march bigger steps and need a
+                # wider pool)
+                halfspan = (BLK - 1) / 2 * self.stepdist
+                cell64 = float((self.xyz_max - self.xyz_min).min()) / 64.0
+                r = int(np.floor(halfspan / cell64)) + 1
+                occ_blk = gridops.max_pool_3d_same(
+                    occ[..., None], 2 * r + 1)[..., 0]
+                blk_hit = self.query_nearest64(occ_blk, cpts)
+            else:
+                blk_hit = self._query_nearest_blk(cpts)
+            sup_blk = blk_in & blk_hit  # [N, SB]
 
             # ---- phase-1 compaction at block granularity (ray-major)
             KB = K1 // BLK
@@ -485,8 +542,10 @@ class VoxurfGeometry:
             # + band-mask membership), at K1 rows instead of N*S
             in_cnt = step1.astype(rays_o.dtype) < rp[:, 6]
             in_bb = jnp.all((pts1 >= mn) & (pts1 <= mx), axis=-1)
-            samp_ok = ~pad1 & in_cnt & in_bb \
-                & self.query_nearest64(occ, pts1)
+            occ_ok = (self.query_nearest64(occ, pts1)
+                      if self.surf_band_factor > 0
+                      else self.mask_cache.query_nearest(pts1))
+            samp_ok = ~pad1 & in_cnt & in_bb & occ_ok
         else:
             samp_ok = ~pad1
 

@@ -67,6 +67,14 @@ def main():
             # ~10% headroom over the BLK=1 advisor numbers (128 -> 144).
             "app.model.phase1_block="
             + os.environ.get("BENCH_PHASE1_BLOCK", "8"),
+            # phase-2 budgets: every downstream row count (head MLPs, tap
+            # sweeps, splat streams) is K2 = N * per_ray. At s_val=220 a
+            # ray keeps ~1-2 weight-threshold survivors, so the 64/24
+            # defaults ran at 2-3% utilization
+            "app.model.points_budget_per_ray="
+            + os.environ.get("BENCH_PER_RAY", "64"),
+            "app.model.points_budget_per_2ndray="
+            + os.environ.get("BENCH_PER_2NDRAY", "24"),
         ],
         root_dir=REPO,
     )

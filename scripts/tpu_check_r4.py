@@ -22,7 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def check_phase1_block():
+def check_phase1_block(band=14.0):
     import jax.numpy as jnp
 
     from esrnerf_tpu.config import load_cfg
@@ -41,7 +41,7 @@ def check_phase1_block():
          "app.model.num_voxels=8000",
          "app.model.points_budget_per_ray=256",
          "app.model.points_budget_masked_per_ray=512",
-         "app.model.surf_band_factor=14.0"],
+         f"app.model.surf_band_factor={band}"],
         root_dir=REPO,
     )
     geo = VoxurfGeometry(cfg, 0.5, 4.0, [-1, -1, -1], [1, 1, 1], mask_cache)
@@ -56,6 +56,7 @@ def check_phase1_block():
     def run(blk):
         g = copy.copy(geo)
         g.phase1_block = blk
+        g._rebuild_mask_blk()
         return g.march(sdf_j, jnp.asarray(o), jnp.asarray(d),
                        jnp.asarray(vd), 80.0, 1e-4, "interp", style="fine")
 
@@ -72,7 +73,8 @@ def check_phase1_block():
             ok = False
     ok &= np.array_equal(np.asarray(m1.alphainv_last),
                          np.asarray(m8.alphainv_last))
-    print(f"phase1_block parity (n_valid={nv}): {'PASS' if ok else 'FAIL'}")
+    print(f"phase1_block parity (band={band}, n_valid={nv}): "
+          f"{'PASS' if ok else 'FAIL'}")
     return ok
 
 
@@ -132,7 +134,8 @@ if __name__ == "__main__":
 
     print("backend:", jax.devices())
     ok = True
-    for check in (check_multi_gather, check_phase1_block):
+    for check in (check_multi_gather, check_phase1_block,
+                  lambda: check_phase1_block(band=0.0)):
         try:
             ok &= bool(check())
         except Exception:

@@ -180,11 +180,13 @@ def test_surf_band_cull_parity(geo):
     assert n_band < n_plain
 
 
-def test_phase1_block_bit_parity(geo):
+@pytest.mark.parametrize("band", [14.0, 0.0])
+def test_phase1_block_bit_parity(geo, band):
     """Block-granular phase 1 (phase1_block=8: block-center coarse test +
     per-sample re-test on the compacted list) must produce the IDENTICAL
     March as the dense per-sample path — same survivor set, same order,
-    same values — whenever neither budget truncates."""
+    same values — whenever neither budget truncates. band=0 exercises the
+    no-band variant (block-dilated occ_sup instead of the band mask)."""
     import copy
 
     X = Y = Z = 20
@@ -196,8 +198,9 @@ def test_phase1_block_bit_parity(geo):
 
     def run(blk):
         g = copy.copy(geo)
-        g.surf_band_factor = 14.0
+        g.surf_band_factor = band
         g.phase1_block = blk
+        g._rebuild_mask_blk()
         return g.march(sdf_j, o, d, vd, s_val, 1e-4, "interp", style="fine")
 
     m1 = run(1)
