@@ -31,7 +31,10 @@ def rgb_ssim(
     k2: float = 0.03,
     return_map: bool = False,
 ):
-    """mipnerf-style SSIM (numpy), exact port of ``utils2/metric.py:31-88``."""
+    """SSIM as defined by google/mipnerf (third-party public code; the
+    reference's ``utils2/metric.py:31-88`` is itself labeled "Modified from
+    google/mipnerf"). Kept formula-identical so metrics are comparable
+    bit-for-bit across frameworks."""
     import scipy.signal
 
     img0 = np.asarray(img0, dtype=np.float64)

@@ -59,7 +59,7 @@ def main():
             # 128/96 measured r3: overflow 0 with k1_frac 0.59/0.43 —
             # the 256/160 r2 budgets ran at 0.30/0.26 utilization
             "app.model.points_budget_masked_per_ray="
-            + os.environ.get("BENCH_MASKED_PER_RAY", "128"),
+            + os.environ.get("BENCH_MASKED_PER_RAY", "144"),
             "app.model.points_budget_masked_per_2ndray="
             + os.environ.get("BENCH_MASKED_PER_2NDRAY", "96"),
             # block-granular phase 1 (8 = default; 1 = per-sample parity
