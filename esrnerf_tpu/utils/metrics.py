@@ -95,7 +95,10 @@ def _load_lpips(net_name: str):
        connected machine; ``tests/test_lpips_weights.py`` golden-checks
        any bundle found there against its ``.golden.json`` sidecar).
     3. The ``lpips`` package with its bundled pretrained weights.
-    4. None -> callers report NaN with a one-time warning.
+    4. The deterministic random-feature fallback
+       (``utils/lpips_fallback.py``) — finite, reproducible, but
+       uncalibrated; a one-time warning states the provenance. Set
+       ``ESRNERF_LPIPS_FALLBACK=0`` to restore the old NaN behavior.
     """
     import os
 
@@ -131,6 +134,14 @@ def _load_lpips(net_name: str):
             warnings.simplefilter("ignore")
             return lpips.LPIPS(net=net_name, version="0.1").eval()
     except Exception as e:  # pragma: no cover - environment dependent
+        if os.environ.get("ESRNERF_LPIPS_FALLBACK", "1") != "0":
+            from esrnerf_tpu.utils.lpips_fallback import RandLPIPS
+
+            warnings.warn(
+                f"calibrated LPIPS unavailable ({e!r}); using the "
+                f"{RandLPIPS.provenance}."
+            )
+            return RandLPIPS()
         warnings.warn(
             f"LPIPS unavailable ({e!r}); reporting NaN. Provide a "
             "TorchScript bundle via LPIPS_WEIGHTS=<path> for offline use."
