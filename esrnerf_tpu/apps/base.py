@@ -233,6 +233,7 @@ class AppClass:
             import warnings
 
             warnings.warn(
+                f"[{type(self).__name__} step {getattr(self, 'global_step', '?')}] "
                 f"march overflow {v:.4f}: points_budget_* too small for "
                 "this scene — surviving samples are being dropped and PSNR "
                 "will silently degrade; raise app.model.points_budget_per_ray"

@@ -510,7 +510,7 @@ class ESRNeRF(VoxurfF):
             _, exp_grad = self.sample_sdf_expgrad(params["sdf"], m.pts)
             normal_lts = jax.lax.stop_gradient(
                 exp_grad
-                / jnp.maximum(jnp.linalg.norm(exp_grad, -1, keepdims=True), 1e-12)
+                / jnp.maximum(jnp.linalg.norm(exp_grad, axis=-1, keepdims=True), 1e-12)
             )
             out["pbr_points"] = {
                 "pts": m.pts, "viewdirs": viewdirs[rid], "normal": normal_lts,
@@ -648,7 +648,7 @@ class ESRNeRF(VoxurfF):
         sdf = jax.lax.stop_gradient(sdf)
         normal = jax.lax.stop_gradient(
             exp_grad / jnp.maximum(
-                jnp.linalg.norm(exp_grad, -1, keepdims=True), 1e-12
+                jnp.linalg.norm(exp_grad, axis=-1, keepdims=True), 1e-12
             )
         )
 

@@ -367,12 +367,30 @@ class VoxurfGeometry:
 
         (ix, px), (iy, py), (iz, pz) = lat(X), lat(Y), lat(Z)
         a256 = a[ix][:, iy][:, :, iz]
-        mn = -jax.lax.reduce_window(
-            -a256, -big, jax.lax.max, (px, py, pz), (px, py, pz), "VALID"
-        )
-        mx = jax.lax.reduce_window(
-            a256, -big, jax.lax.max, (px, py, pz), (px, py, pz), "VALID"
-        )
+        # overlapping pool windows (width p+1, stride p, edge-padded):
+        # adjacent 64-blocks share a corner plane, so a crossing cell whose
+        # two corners land in different blocks still contributes its full
+        # corner range to one of them (the 3^3 dilation below covers the
+        # other). With non-overlapping windows a grid with <= 64 cells per
+        # axis has p == 1 and each block saw a SINGLE corner value — any
+        # surface crossing the band between adjacent corners was culled
+        # outright (alphamask/coarse-scale grids marched zero samples).
+        # Separable per-axis passes: max/min over a box == sequential 1-D
+        # pools (XLA:CPU's cubic reduce_window is ~100x slower).
+        def pool3(v, op, init):
+            vp = jnp.pad(v, ((0, 1), (0, 1), (0, 1)), mode="edge")
+            for axis, p in ((0, px), (1, py), (2, pz)):
+                win = [1, 1, 1]
+                st = [1, 1, 1]
+                win[axis] = p + 1
+                st[axis] = p
+                vp = jax.lax.reduce_window(
+                    vp, init, op, tuple(win), tuple(st), "VALID"
+                )
+            return vp
+
+        mn = -pool3(-a256, jax.lax.max, -big)
+        mx = pool3(a256, jax.lax.max, -big)
         band = jnp.float32(self.surf_band_factor) / s_val
         ok = ((mn <= band) & (mx >= -band)).astype(jnp.float32)
         ok = gridops.max_pool_3d_same(ok[..., None], 3)[..., 0]

@@ -682,13 +682,26 @@ def conv3d_replicate(grid: jnp.ndarray, kernel) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("ks",))
 def max_pool_3d_same(grid: jnp.ndarray, ks: int) -> jnp.ndarray:
     """Stride-1 3-D max-pool with padding ks//2 over ``[X,Y,Z,C]``
-    (reference MaskCache construction, ``module.py:95-100``)."""
+    (reference MaskCache construction, ``module.py:95-100``).
+
+    Separable: max over a cubic window == three sequential 1-D max pools
+    (max is associative/commutative), turning the O(ks^3)-per-voxel cubic
+    ``reduce_window`` into 3 O(ks) passes — the cubic form at the
+    block-dilation radii of coarse grids (ks up to ~17) measured ~3.5 s
+    per march on XLA:CPU and dominates dryrun/test wall-time; the
+    separable form is also strictly less work for the TPU vector unit.
+    """
     p = ks // 2
-    return jax.lax.reduce_window(
-        grid,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(ks, ks, ks, 1),
-        window_strides=(1, 1, 1, 1),
-        padding=((p, p), (p, p), (p, p), (0, 0)),
-    )
+    out = grid
+    for axis in range(3):
+        win = [1, 1, 1, 1]
+        pad = [(0, 0)] * 4
+        win[axis] = ks
+        pad[axis] = (p, p)
+        out = jax.lax.reduce_window(
+            out, -jnp.inf, jax.lax.max,
+            window_dimensions=tuple(win),
+            window_strides=(1, 1, 1, 1),
+            padding=tuple(pad),
+        )
+    return out

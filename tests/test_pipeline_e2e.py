@@ -158,6 +158,10 @@ def test_alphamask_then_coarse(scene_root, tmp_path):
     cfg3 = stage_cfg("fine", scene_root, logdir, 120, extra=[
         "app.trainer.num_voxels=64000", "app.trainer.batch_size=256",
         "app.trainer.pg_scale=[60]", "app.trainer.scale_ratio=2.0",
+        # the r5 band-cull fix (overlapping corner windows at <=64^3 grids)
+        # admits the full true survivor set; the default 64-per-ray budget
+        # overflowed 11% on this scene and silently dropped samples
+        "app.model.points_budget_per_ray=96",
         f"app.trainer.ckpt={ckpt2}",
     ])
     a3 = Fine(cfg3)

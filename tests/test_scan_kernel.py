@@ -1,5 +1,8 @@
 """Pallas transmittance-scan kernel vs the jnp dense oracle — forward and
-the hand-written reverse-scan backward (interpret mode on CPU)."""
+the hand-written reverse-scan backward. On CPU the default path is the
+vectorized jnp mirror (interpret-mode Pallas costs seconds per march);
+``ESR_SCAN_INTERPRET=1`` forces the interpreted kernel so its logic stays
+covered off-TPU."""
 
 import jax
 import jax.numpy as jnp
@@ -10,6 +13,37 @@ from esrnerf_tpu.ops import render as renderops
 from esrnerf_tpu.ops import scan as scanops
 
 pytestmark = pytest.mark.quick
+
+
+def test_jnp_mirror_matches_interpreted_kernel(monkeypatch):
+    """The CPU fast path must reproduce the kernel's exact semantics,
+    including the early-exit freeze and the division-form backward."""
+    rng = np.random.default_rng(3)
+    N, S = 9, 24
+    alpha = rng.uniform(0, 0.95, (N, S)).astype(np.float32)
+    alpha[2] = 0.9999  # deep early-exit ray
+    alpha[4] = 0.0
+    a = jnp.asarray(alpha)
+    ctw = jnp.asarray(rng.normal(size=(N, S)).astype(np.float32))
+    ctl = jnp.asarray(rng.normal(size=(N,)).astype(np.float32))
+
+    def run():
+        def loss(x):
+            w, last = scanops.alpha2weights_pallas(x, 1e-3)
+            return (w * ctw).sum() + (last * ctl).sum()
+
+        (w, last) = scanops.alpha2weights_pallas(a, 1e-3)
+        return w, last, jax.grad(loss)(a)
+
+    w_j, last_j, g_j = run()
+    monkeypatch.setenv("ESR_SCAN_INTERPRET", "1")
+    w_k, last_k, g_k = run()
+    np.testing.assert_allclose(np.asarray(w_j), np.asarray(w_k),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(last_j), np.asarray(last_k),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_j), np.asarray(g_k),
+                               rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.parametrize("seed", [0, 1])
