@@ -434,9 +434,9 @@ class PDRA(LTS):
         sampler.filter(keep)
         return sampler
 
-    def finetune_radiance(self, test_data) -> None:
+    def finetune_radiance(self, test_data):
         """Per-test-image emissive-branch fine-tune against edited targets
-        (reference pdra.py:1047-1109)."""
+        (reference pdra.py:1047-1109). Returns the per-step loss list."""
         payload = self._eval_payload
         all_params = jax.tree.map(jnp.asarray, payload["renderer"]["params"])
         # frozen emit snapshot of the pre-finetune emo grid (esrnerf.py:226-232);
@@ -465,6 +465,15 @@ class PDRA(LTS):
                   if k not in ("emo_color", "emo_rgbnet")}
         opt = Adam(self.eval_lrs)
         opt_state = opt.init(trainable)
+        if self.mesh is not None:
+            # committed replicated placement so every loop iteration hits
+            # the one compiled executable (out_shardings below pins the
+            # donated outputs to the same sharding)
+            from esrnerf_tpu.parallel import replicated
+
+            rep = replicated(self.mesh)
+            trainable = jax.device_put(trainable, rep)
+            opt_state = jax.device_put(opt_state, rep)
         model = self.renderer
         w = self.eval_weight_lts
         s_val = float(payload["renderer"]["s_val"])
@@ -485,7 +494,15 @@ class PDRA(LTS):
                     model.fastcolor_thres, model.neus_alpha, ppr,
                 )
             ))
-            chunk = 4096
+            # chunk sized to the pool (device-count-aligned): a fixed 4096
+            # against a tiny eval pool padded 16x for nothing
+            ndev = (int(np.prod(self.mesh.devices.shape))
+                    if self.mesh is not None else 1)
+            pool_max = max(sampler.uncert_data_num, sampler.cert_data_num, 1)
+            chunk = min(
+                int(self.cfg.app["eval"].get("cache_march_chunk", 4096)),
+                -(-pool_max // ndev) * ndev,
+            )
             dropped = []
             for pool in (sampler.uncert_data, sampler.cert_data):
                 n = len(pool["rays_o"])
@@ -521,7 +538,19 @@ class PDRA(LTS):
                     sampler.keys = list(sampler.keys) + [k]
 
         if getattr(self, "_ft_step_cached", None) != ft_cached:
-            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            # pin the donated loop-carried outputs to the replicated mesh
+            # sharding: without this the first call's GSPMD-chosen output
+            # shardings differ from the host-placed inputs and iteration 2
+            # re-lowers + recompiles the whole step (measured ~16 s per
+            # finetune call on a 1-core 8-device CPU mesh)
+            jit_kw: dict = {"donate_argnums": (0, 1)}
+            if self.mesh is not None:
+                from esrnerf_tpu.parallel import replicated
+
+                rep = replicated(self.mesh)
+                jit_kw["out_shardings"] = (rep, rep, rep, rep)
+
+            @functools.partial(jax.jit, **jit_kw)
             def ft_step(params, opt_state, frozen, batch, rng):
                 def loss_fn(p):
                     res = model.forward_finetune(
@@ -566,6 +595,7 @@ class PDRA(LTS):
 
         self.params = {**frozen, **trainable}
         print(f"[relight finetune] emo_MSE {losses[0]:.5f} -> {losses[-1]:.5f}")
+        return losses
 
     # ----------------------------------------------------------------- eval
 
