@@ -6,9 +6,13 @@ HDR ground truth as ``.exr`` (reference ``data/esrnerf/esrnerf.py:107-110``)
 and evals compute ``lin/MSE_EXR`` against it. This module implements the
 OpenEXR 2.0 single-part scanline format from the public spec:
 
-- reading: NONE / ZIPS(1-line) / ZIP(16-line) compression, HALF/FLOAT/UINT
-  channels, arbitrary channel names (returns RGB(A) ordering when present);
-- writing: HALF or FLOAT, NONE or ZIP compression.
+- reading: NONE / ZIPS(1-line) / ZIP(16-line) / PIZ(32-line) compression,
+  HALF/FLOAT/UINT channels, arbitrary channel names (returns RGB(A)
+  ordering when present);
+- writing: HALF or FLOAT, NONE / ZIP / PIZ compression.
+
+PIZ (wavelet + Huffman, the common Blender/production default) lives in
+``utils/piz.py``.
 
 The ZIP scheme is zlib over delta-encoded, two-way interleaved bytes
 (OpenEXR ``ImfZip.cpp`` semantics, re-derived here in vectorized numpy).
@@ -26,8 +30,8 @@ MAGIC = 0x01312F76
 PT_UINT, PT_HALF, PT_FLOAT = 0, 1, 2
 _DTYPES = {PT_UINT: np.uint32, PT_HALF: np.float16, PT_FLOAT: np.float32}
 _SIZES = {PT_UINT: 4, PT_HALF: 2, PT_FLOAT: 4}
-COMP_NONE, COMP_RLE, COMP_ZIPS, COMP_ZIP = 0, 1, 2, 3
-_LINES_PER_BLOCK = {COMP_NONE: 1, COMP_ZIPS: 1, COMP_ZIP: 16}
+COMP_NONE, COMP_RLE, COMP_ZIPS, COMP_ZIP, COMP_PIZ = 0, 1, 2, 3, 4
+_LINES_PER_BLOCK = {COMP_NONE: 1, COMP_ZIPS: 1, COMP_ZIP: 16, COMP_PIZ: 32}
 
 
 # ------------------------------------------------------------- zip predictor
@@ -133,11 +137,15 @@ def imread(path: str) -> np.ndarray:
         raw_len = per_line * n_lines
         if comp == COMP_NONE:
             raw = np.frombuffer(data, np.uint8)
+        elif dsize >= raw_len:  # incompressible block stored raw
+            raw = np.frombuffer(data, np.uint8)
+        elif comp == COMP_PIZ:
+            from esrnerf_tpu.utils import piz
+
+            raw = piz.piz_uncompress(data, chans, W, n_lines)
+            assert len(raw) == raw_len, (len(raw), raw_len)
         else:
-            if dsize >= raw_len:  # incompressible block stored raw
-                raw = np.frombuffer(data, np.uint8)
-            else:
-                raw = _zip_decode(data, raw_len)
+            raw = _zip_decode(data, raw_len)
         p = 0
         for li in range(n_lines):
             for name, pt in chans:
@@ -173,7 +181,8 @@ def imwrite(path: str, img: np.ndarray, half: bool = True,
     names = ["R", "G", "B", "A"][:C] if C <= 4 else [f"C{i}" for i in range(C)]
     ptype = PT_HALF if half else PT_FLOAT
     dt = _DTYPES[ptype]
-    comp = {"none": COMP_NONE, "zip": COMP_ZIP, "zips": COMP_ZIPS}[compression]
+    comp = {"none": COMP_NONE, "zip": COMP_ZIP, "zips": COMP_ZIPS,
+            "piz": COMP_PIZ}[compression]
     lpb = _LINES_PER_BLOCK[comp]
 
     order = sorted(range(C), key=lambda i: names[i])
@@ -211,6 +220,15 @@ def imwrite(path: str, img: np.ndarray, half: bool = True,
         raw = b"".join(lines)
         if comp == COMP_NONE:
             payload = raw
+        elif comp == COMP_PIZ:
+            from esrnerf_tpu.utils import piz
+
+            ordered = [(names[i], ptype) for i in order]
+            payload = piz.piz_compress(
+                np.frombuffer(raw, np.uint8), ordered, W, n_lines
+            )
+            if len(payload) >= len(raw):
+                payload = raw
         else:
             payload = _zip_encode(np.frombuffer(raw, np.uint8))
             if len(payload) >= len(raw):
