@@ -22,3 +22,19 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu"
+
+
+def pytest_collection_modifyitems(config, items):
+    """``-m quick`` must stay under its 5-minute 1-core budget: tests
+    marked ``full`` (multi-second full-graph compiles) are deselected from
+    the quick tier even when a module-level ``pytestmark = quick`` would
+    otherwise include them (markers add up, they don't override)."""
+    if "quick" in (config.option.markexpr or "") and "full" not in (
+        config.option.markexpr or ""
+    ):
+        keep, drop = [], []
+        for it in items:
+            (drop if it.get_closest_marker("full") else keep).append(it)
+        if drop:
+            config.hook.pytest_deselected(items=drop)
+            items[:] = keep

@@ -156,6 +156,7 @@ def test_full_state_dict_roundtrip(ref_pbr):
     assert params["envmap"]["mus"].shape == (8, 3)
 
 
+@pytest.mark.full
 def test_full_checkpoint_import_runs_forward(ref_pbr, tmp_path):
     """A complete reference-style torch checkpoint imports and drives OUR
     ESRNeRF forward_evaluate end to end (key names, shapes, meta)."""

@@ -35,6 +35,7 @@ def _surface_batch(n):
     return jnp.asarray(o), jnp.asarray(d.astype(np.float32)), jnp.asarray(vd)
 
 
+@pytest.mark.full
 def test_finetune_normal_unit_and_target_bounded(tiny):
     model, params = tiny
     full = dict(params)

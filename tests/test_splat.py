@@ -221,6 +221,7 @@ def test_sorted_gather_raw_and_unsorted_locality():
     (130, 6, 1, False),   # y-axis-like stride: crosses tiles, phase = w*2
     (66049, 6, 1, False), # x-axis-like stride: multi-piece extension
 ])
+@pytest.mark.full
 def test_sorted_gather_family_matches_flat(sa, W, C, weighted):
     """family=(sa, W) batched matmuls == per-offset oracle, incl. strides
     larger than a tile and larger than a piece (ext_t DMA extension)."""
@@ -251,6 +252,7 @@ def test_sorted_gather_family_matches_flat(sa, W, C, weighted):
     np.testing.assert_allclose(np.asarray(out), want, rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.full
 def test_sorted_gather_family_n_valid_chunk_skip():
     rng = np.random.default_rng(12)
     R, M, W, sa = 300000, 6144, 6, 130

@@ -16,7 +16,7 @@ import pytest
 from esrnerf_tpu.config import customize_cfg, load_cfg
 from esrnerf_tpu.data.synthetic import write_scene
 
-pytestmark = pytest.mark.quick
+pytestmark = pytest.mark.full
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
