@@ -107,6 +107,12 @@ def main():
             # carries ~10% halo headroom over the per-sample demand.
             "app.model.points_budget_masked_per_ray="
             + os.environ.get("BENCH_MASKED_PER_RAY", "432"),
+            # phase-2 head budget, advisor-sized to this scene like the
+            # masked budget above (r5 telemetry: k2_frac 0.023 at the
+            # default 64/ray — the whole head pipeline ran 40x padded);
+            # overflow is asserted 0 below, so drops cannot flatter rays/s
+            "app.model.points_budget_per_ray="
+            + os.environ.get("BENCH_PER_RAY", "64"),
             "app.model.phase1_block="
             + os.environ.get("BENCH_PHASE1_BLOCK", "8"),
         ],

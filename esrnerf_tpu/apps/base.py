@@ -241,6 +241,68 @@ class AppClass:
             self._overflow_warned = True
         return v
 
+    def maybe_autotune_budgets(self, fracs: dict) -> bool:
+        """One-shot march-budget resize from the first measured step's
+        utilization telemetry (``etc/k*_frac``).
+
+        Enabled with ``app.model.budget_autotune: true``. The static
+        ``points_budget_*`` buffers are pure capacity — with overflow 0
+        they do not change results, only padding waste (measured r5:
+        the fine bench ran its head pipeline at k2_frac 0.023 = 40x
+        padded). This resizes each budget to put utilization near
+        ``budget_autotune_target`` (default 0.65, the advisor recipe's
+        band), rounds K1-type budgets to the phase1 block, and asks the
+        caller to re-jit once. Growth is bounded by 1/target; shrink
+        keeps >= one block so a later batch that needs more trips the
+        overflow alarm rather than crashing.
+
+        fracs keys: "k1", "k2" (primary march), optionally "k1_2nd",
+        "k2_2nd" (ESRNeRF secondary march). Returns True if any budget
+        changed (caller must rebuild its train step).
+        """
+        import math
+
+        m = self.cfg.app["model"]
+        if not m.get("budget_autotune", False) or getattr(
+            self, "_budgets_tuned", False
+        ):
+            return False
+        self._budgets_tuned = True
+        target = float(m.get("budget_autotune_target", 0.65))
+        model = self.renderer
+        geo = getattr(model, "geo", model)
+        blk = max(1, int(getattr(geo, "phase1_block", 1)))
+
+        def size(old, frac, mult, lo):
+            if not np.isfinite(frac) or frac <= 0:
+                return max(lo, mult)
+            new = math.ceil(old * min(frac, 1.0) / target / mult) * mult
+            return max(lo, new)
+
+        plan = [
+            ("k1", geo, "points_per_ray_masked", blk, 2 * blk),
+            ("k2", geo, "points_per_ray", 4, 4),
+        ]
+        if hasattr(model, "points_per_2ndray"):
+            plan += [
+                ("k1_2nd", model, "points_per_2ndray_masked", blk, 2 * blk),
+                ("k2_2nd", model, "points_per_2ndray", 4, 4),
+            ]
+        changed = []
+        for key, obj, attr, mult, lo in plan:
+            if key not in fracs:
+                continue
+            old = int(getattr(obj, attr))
+            new = size(old, float(fracs[key]), mult, lo)
+            if new != old:
+                setattr(obj, attr, new)
+                changed.append(f"{attr} {old}->{new}")
+        if changed:
+            print("[budget autotune] " + ", ".join(changed)
+                  + f" (target {target:.2f} utilization; re-jitting once)")
+            self._jit_cache = {}  # eval fns re-jit with the new budgets
+        return bool(changed)
+
     def cached_jit(self, name: str, build, key_extra: tuple = ()):
         """Memoized jitted callables (one trace cache per app lifetime).
 

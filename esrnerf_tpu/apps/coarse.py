@@ -278,6 +278,7 @@ class Coarse(AppClass):
         logger = self.get_logger()
         logs: Dict[str, List[float]] = {"srgb/MSE": [], "srgb/PSNR": []}
 
+        tune_step = self.global_step
         pbar = self.tqdm(range(self.global_step, self.n_iters), colour="green")
         for self.global_step in pbar:
             batch = self.place_batch(self.sampler.sample())
@@ -293,6 +294,11 @@ class Coarse(AppClass):
                 jnp.float32(1.0 if tv_on else 0.0),
                 jnp.float32(self.tvs["sdf"]), jnp.float32(self.tvs["smooth_grad"]),
             )
+
+            if self.global_step == tune_step and self.maybe_autotune_budgets(
+                {"k1": float(k1f), "k2": float(k2f)}
+            ):
+                train_step = self._build_train_step()
 
             for k in self.lr_scales:
                 self.lr_scales[k] *= decay

@@ -271,6 +271,7 @@ class Fine(AppClass):
             "srgb/MSE": [], "srgb/PSNR": [], "lin/MSE": [], "lin/PSNR": [],
         }
 
+        tune_step = self.global_step
         pbar = self.tqdm(range(self.global_step, self.n_iters), colour="green")
         for self.global_step in pbar:
             if self.global_step in self.pg_scale:
@@ -297,6 +298,11 @@ class Fine(AppClass):
                 ),
                 jnp.bool_(self.global_step < self.tv_dense_before),
             )
+
+            if self.global_step == tune_step and self.maybe_autotune_budgets(
+                {"k1": float(k1f), "k2": float(k2f)}
+            ):
+                train_step = self._build_train_step()
 
             decay = self.lr_scheduler.decay_factor
             for k in self.lr_scales:
