@@ -94,6 +94,11 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 8192))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     warmup = 3
+    # fuse the off/emo color-grid splat backwards into one 12-channel
+    # sweep (r5: 929 -> 854 ms/step). The library default stays 0
+    # (memory-neutral) because the PDRA double-batch step is HBM-tight;
+    # the single-batch fine step has the headroom.
+    os.environ.setdefault("ESR_SPLAT_MULTI_BWD_CAP", "1300000000")
 
     cfg = load_cfg(
         "cfg/app/fine.yaml",
@@ -112,7 +117,7 @@ def main():
             # default 64/ray — the whole head pipeline ran 40x padded);
             # overflow is asserted 0 below, so drops cannot flatter rays/s
             "app.model.points_budget_per_ray="
-            + os.environ.get("BENCH_PER_RAY", "64"),
+            + os.environ.get("BENCH_PER_RAY", "16"),
             "app.model.phase1_block="
             + os.environ.get("BENCH_PHASE1_BLOCK", "8"),
         ],

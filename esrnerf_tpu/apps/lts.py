@@ -202,12 +202,6 @@ class LTS(Fine):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = sh.gsum(grads)
             mse, lin_mse, off_l, emo_l, ovf, k1f, k2f, k1f2, k2f2 = aux
-
-            if self.global_step == tune_step and self.maybe_autotune_budgets(
-                {"k1": float(k1f), "k2": float(k2f),
-                 "k1_2nd": float(k1f2), "k2_2nd": float(k2f2)}
-            ):
-                train_step = self._build_train_step()
             tv_dense_g = model.sdf_tv_grad(params["sdf"], sdf_tv_w)
             tv_sparse_g = model.sdf_tv_grad(
                 params["sdf"], sdf_tv_w, sparse_grad=grads["sdf"]
@@ -264,6 +258,12 @@ class LTS(Fine):
                 jnp.bool_(self.global_step < self.tv_dense_before), sub,
             )
             mse, lin_mse, off_l, emo_l, ovf, k1f, k2f, k1f2, k2f2 = aux
+
+            if self.global_step == tune_step and self.maybe_autotune_budgets(
+                {"k1": float(k1f), "k2": float(k2f),
+                 "k1_2nd": float(k1f2), "k2_2nd": float(k2f2)}
+            ):
+                train_step = self._build_train_step()
 
             decay = self.lr_scheduler.decay_factor
             for k in self.lr_scales:

@@ -67,6 +67,13 @@ def main():
             + os.environ.get("BENCH_MASKED_PER_RAY", "128"),
             "app.model.points_budget_masked_per_2ndray="
             + os.environ.get("BENCH_MASKED_PER_2NDRAY", "96"),
+            # phase-2 head budgets (same telemetry story as bench_lts:
+            # the 64/24 defaults ran the head pipeline at 2-3%
+            # utilization; overflow asserted 0 keeps the shrink honest)
+            "app.model.points_budget_per_ray="
+            + os.environ.get("BENCH_PER_RAY", "64"),
+            "app.model.points_budget_per_2ndray="
+            + os.environ.get("BENCH_PER_2NDRAY", "24"),
         ],
         root_dir=REPO,
     )
