@@ -56,10 +56,11 @@ def main():
             # around the ball surface; ~64 samples per crossing at step
             # 0.5). Overflow is asserted 0 below — without the band cull
             # the fully-occupied ball interior needed 384/ray
-            # 128/96 measured r3: overflow 0 with k1_frac 0.59/0.43 —
-            # the 256/160 r2 budgets ran at 0.30/0.26 utilization
+            # 160/96 measured r5: overflow 0 at k1_frac 0.905/0.695 (the
+            # r5 overlapping band-corner windows grew the conservative
+            # superset ~12%; 144 overflowed 0.6%)
             "app.model.points_budget_masked_per_ray="
-            + os.environ.get("BENCH_MASKED_PER_RAY", "144"),
+            + os.environ.get("BENCH_MASKED_PER_RAY", "160"),
             "app.model.points_budget_masked_per_2ndray="
             + os.environ.get("BENCH_MASKED_PER_2NDRAY", "96"),
             # block-granular phase 1 (8 = default; 1 = per-sample parity
@@ -72,9 +73,9 @@ def main():
             # ray keeps ~1-2 weight-threshold survivors, so the 64/24
             # defaults ran at 2-3% utilization
             "app.model.points_budget_per_ray="
-            + os.environ.get("BENCH_PER_RAY", "64"),
+            + os.environ.get("BENCH_PER_RAY", "8"),
             "app.model.points_budget_per_2ndray="
-            + os.environ.get("BENCH_PER_2NDRAY", "24"),
+            + os.environ.get("BENCH_PER_2NDRAY", "8"),
         ],
         root_dir=REPO,
     )

@@ -61,19 +61,20 @@ def main():
             f"app.trainer.uncert_batch_size={batch}",
             f"app.trainer.cert_batch_size={batch}",
             # same band-cull-sized budgets as bench_lts (overflow asserted
-            # 0; 128/96 measured r3 at k1_frac 0.59/0.43 — and the double
-            # -pool step only fits 16 GB HBM at the tightened budgets)
+            # 0; 160/96 measured r5 — the overlapping band-corner windows
+            # grew the conservative superset and 128 overflowed 11.8%.
+            # The double-pool step only fits 16 GB HBM at tight budgets)
             "app.model.points_budget_masked_per_ray="
-            + os.environ.get("BENCH_MASKED_PER_RAY", "128"),
+            + os.environ.get("BENCH_MASKED_PER_RAY", "160"),
             "app.model.points_budget_masked_per_2ndray="
             + os.environ.get("BENCH_MASKED_PER_2NDRAY", "96"),
             # phase-2 head budgets (same telemetry story as bench_lts:
             # the 64/24 defaults ran the head pipeline at 2-3%
             # utilization; overflow asserted 0 keeps the shrink honest)
             "app.model.points_budget_per_ray="
-            + os.environ.get("BENCH_PER_RAY", "64"),
+            + os.environ.get("BENCH_PER_RAY", "16"),
             "app.model.points_budget_per_2ndray="
-            + os.environ.get("BENCH_PER_2NDRAY", "24"),
+            + os.environ.get("BENCH_PER_2NDRAY", "12"),
         ],
         root_dir=REPO,
     )
