@@ -379,12 +379,18 @@ _GCAP_RAW = int(__import__("os").environ.get("ESR_GATHER_PIECE_RAW", 98304))
 if _GCAP_RAW % _GROUP != 0:
     raise ValueError(
         f"ESR_GATHER_PIECE_RAW={_GCAP_RAW} must be a multiple of {_GROUP}")
-# Below this many points the plain XLA row gather wins outright: the kernel's
-# cost scales with the chunk's table span (a *scattered* 2048-point set — the
-# LTS surface points — spans the whole 16.7M-row grid: ~170 piece sweeps,
-# ~326 ms measured) while XLA gathers are row-count-bound at ~90-250M rows/s
-# (<1 ms for 2048x24 rows). Crossover is ~100K rows; stay well under it.
-_GATHER_XLA_M = 16384
+# Below this many points the plain XLA row gather wins outright: the
+# kernel's cost is ~fixed per table sweep for any point set whose sorted
+# chunks span the whole grid (the r5 fine trace measured the SAME
+# ~113 ms for the fused K2 gather at 131k AND 524k points — piece count
+# ~ table_rows / piece_height, independent of M), while XLA gathers are
+# row-count-bound at ~90-250M rows/s. For surface-distributed march
+# points the crossover is ~1M points x 8 corners; 262144 keeps the
+# shrunk phase-2 head reads (K2 = N*16, secondary Nsec*8) on the XLA
+# path (r5: fine step 855 -> 717 ms). ESR_GATHER_XLA_M overrides.
+_GATHER_XLA_M = int(
+    __import__("os").environ.get("ESR_GATHER_XLA_M", 262144)
+)
 # matmul precision for the one-hot gather. Mosaic only lowers DEFAULT and
 # HIGHEST in-kernel (HIGH raises NotImplementedError); HIGHEST keeps the
 # sampled values bit-exact. Env knob for microbenching the alternative.
