@@ -26,6 +26,11 @@ sys.path.insert(0, REPO)
 
 
 def main():
+    # fuse the off/emo/brdf splat backwards into one 18-channel sweep
+    # (16.7M x cpad(18) x 4B = 1.6 GB transient, fits the single-batch
+    # LTS step: 1.535 -> 1.457 s/step measured r5). Env wins if set.
+    os.environ.setdefault("ESR_SPLAT_MULTI_BWD_CAP", "1700000000")
+
     import jax
 
     # sitecustomize pins the axon TPU backend before env vars can take

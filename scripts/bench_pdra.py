@@ -31,6 +31,10 @@ sys.path.insert(0, REPO)
 
 
 def main():
+    # the fused 18-channel splat backward fits even the HBM-tight double
+    # -batch step (2.703 -> 2.563 s/step measured r5). Env wins if set.
+    os.environ.setdefault("ESR_SPLAT_MULTI_BWD_CAP", "1700000000")
+
     import jax
 
     # sitecustomize pins the axon TPU backend before env vars can take
