@@ -67,16 +67,31 @@ def _device_ms_from_trace(trace_dir: str) -> float:
     xs = xplane_pb2.XSpace()
     with open(max(pbs, key=os.path.getmtime), "rb") as f:
         xs.ParseFromString(f.read())
-    total_ps = 0
+    intervals = []
     for plane in xs.planes:
         if "TPU" not in plane.name and "/device" not in plane.name.lower():
             continue
         for line in plane.lines:
             if line.name != "XLA Ops":
                 continue
-            total_ps += sum(ev.duration_ps for ev in line.events)
-    if total_ps == 0:
+            base = line.timestamp_ns * 1000
+            for ev in line.events:
+                st = base + ev.offset_ps
+                intervals.append((st, st + ev.duration_ps))
+    if not intervals:
         raise ValueError("no device 'XLA Ops' events in trace")
+    # device BUSY time: merge overlapping op intervals (async DMAs overlap
+    # compute, so a plain duration sum exceeds wall time)
+    intervals.sort()
+    total_ps = 0
+    cur_s, cur_e = intervals[0]
+    for s, e in intervals[1:]:
+        if s > cur_e:
+            total_ps += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    total_ps += cur_e - cur_s
     return total_ps / 1e9
 
 
