@@ -7,6 +7,10 @@ and .../k2_frac plus .../overflow. This tool reads a log dir and prints
 the observed utilization envelope and a recommended budget scale.
 
 Usage: python scripts/budget_advisor.py <logdir-with-metrics.jsonl> [...]
+
+``app.model.budget_autotune: true`` applies the same sizing automatically
+from the first training step's telemetry (one re-jit); this tool remains
+for post-hoc inspection and for tuning across a whole run's envelope.
 """
 
 import json
