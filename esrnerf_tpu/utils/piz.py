@@ -14,9 +14,11 @@ scheme is implemented here from the public OpenEXR format documentation:
 - canonical Huffman coding with 6-bit packed code lengths, zero-run
   escapes, and the run-length pseudo-symbol (``ImfHuf`` semantics)
 
-The wavelet and LUT stages are vectorized numpy; the Huffman bit loops
-are Python (a few hundred ms per 32-line chunk at production sizes —
-fine for dataset preprocessing, which caches rays anyway).
+The wavelet and LUT stages are vectorized numpy; the Huffman DECODE hot
+loop is C++ (``native/piz.cpp``, JIT-built via make + ctypes like the
+marching lib — an 800x800 HALF image reads in ~0.1 s vs ~33 s through
+the pure-Python loop, which remains as the fallback and the encoder;
+``ESR_PIZ_NATIVE=0`` forces the Python path).
 
 Encode+decode are both implemented so the test suite can verify a full
 roundtrip without any external EXR tool (zero-egress sandbox: no
@@ -519,6 +521,42 @@ def huf_compress(data: np.ndarray) -> bytes:
     return head + table + bits
 
 
+_NATIVE = None
+
+
+def _native_lib():
+    """ctypes handle to the C++ Huffman decoder, JIT-built like the
+    marching lib (the Python bit loop costs ~1.3 s per 32-line chunk at
+    800x800; the C path is ~100x faster). None when unbuildable."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    import ctypes
+    import os
+    import subprocess
+
+    native_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
+    )
+    so = os.path.join(native_dir, "libpiz.so")
+    try:
+        src = os.path.join(native_dir, "piz.cpp")
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(["make", "-C", native_dir, "libpiz.so"],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.piz_huf_decode.restype = ctypes.c_int
+        lib.piz_huf_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
+        ]
+        _NATIVE = lib
+    except Exception:  # toolchain-free environments fall back to Python
+        _NATIVE = False
+    return _NATIVE or None
+
+
 def huf_uncompress(data: bytes, n_out: int) -> np.ndarray:
     if n_out == 0:
         return np.empty(0, np.uint16)
@@ -527,6 +565,21 @@ def huf_uncompress(data: bytes, n_out: int) -> np.ndarray:
     im, iM, table_len, nbits, _ = struct.unpack_from("<5I", data, 0)
     if not (0 <= im < iM < HUF_ENCSIZE):
         raise ValueError("PIZ: bad huffman header")
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+        import os
+
+        if os.environ.get("ESR_PIZ_NATIVE", "1") != "0":
+            out = np.empty(n_out, np.uint16)
+            rc = lib.piz_huf_decode(
+                data, len(data),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                n_out,
+            )
+            if rc == 0:
+                return out
+            raise ValueError(f"PIZ: native huffman decode failed rc={rc}")
     hcode, data_pos = _unpack_enc_table(data, 20, im, iM)
     short_len, short_lit, longs = _build_dec_table(hcode, im, iM)
     return _huf_decode(hcode, short_len, short_lit, longs, data, data_pos,

@@ -107,3 +107,24 @@ def test_piz_beats_raw_on_smooth_data(tmp_path):
     exr.imwrite(p1, img, half=True, compression="piz")
     exr.imwrite(p2, img, half=True, compression="none")
     assert os.path.getsize(p1) < 0.8 * os.path.getsize(p2)
+
+
+def test_piz_native_huffman_matches_python(monkeypatch):
+    """The C++ Huffman decoder (native/piz.cpp) must be bit-identical to
+    the Python reference loop on the same stream."""
+    from esrnerf_tpu.utils import piz
+
+    if piz._native_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    data = np.concatenate([
+        rng.integers(0, 100, 7000), np.full(2500, 17),
+        rng.integers(0, 65536, 300), np.zeros(900, np.int64),
+    ]).astype(np.uint16)
+    comp = piz.huf_compress(data)
+    monkeypatch.setenv("ESR_PIZ_NATIVE", "1")
+    out_c = piz.huf_uncompress(comp, len(data))
+    monkeypatch.setenv("ESR_PIZ_NATIVE", "0")
+    out_py = piz.huf_uncompress(comp, len(data))
+    np.testing.assert_array_equal(out_c, data)
+    np.testing.assert_array_equal(out_py, data)
