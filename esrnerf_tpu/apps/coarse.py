@@ -438,6 +438,14 @@ class Coarse(AppClass):
             metrics["srgb/PSNR"].append(loss2psnr(mse))
             metrics["srgb/SSIM"].append(rgb_ssim(pred, rgbs, 1))
             metrics["srgb/LPIPS_ALEX"].append(rgb_lpips(rgbs, pred, "alex"))
+
+            trunc = self.pop_eval_truncation()
+            metrics.setdefault("etc/truncated_frac", []).append(
+                trunc if trunc > 0 else None
+            )
+            if trunc > 0:
+                print(f"[eval] image {int(i)}: render TRUNCATED "
+                      f"(overflow {trunc:.4f} at max budget scale)")
             for k, v in imgs.items():
                 renders.setdefault(k, []).append(
                     (np.clip(v, 0, 1) * 255).astype(np.uint8)

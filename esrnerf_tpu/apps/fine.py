@@ -489,6 +489,14 @@ class Fine(AppClass):
             metrics["srgb/LPIPS_ALEX"].append(rgb_lpips(rgbs, pred, "alex"))
             metrics["lin/LPIPS_ALEX"].append(rgb_lpips(rgbs, lin_gamma, "alex"))
 
+            trunc = self.pop_eval_truncation()
+            metrics.setdefault("etc/truncated_frac", []).append(
+                trunc if trunc > 0 else None
+            )
+            if trunc > 0:
+                print(f"[eval] image {int(i)}: render TRUNCATED "
+                      f"(overflow {trunc:.4f} at max budget scale)")
+
             for k, v in imgs.items():
                 renders.setdefault(k, []).append(
                     (np.clip(v, 0, 1) * 255).astype(np.uint8)

@@ -698,6 +698,14 @@ class PDRA(LTS):
             metrics["lin/PSNR"].append(loss2psnr(mse))
             metrics["lin/SSIM"].append(rgb_ssim(lin_gamma, rgbs, 1))
             metrics["lin/LPIPS_ALEX"].append(rgb_lpips(rgbs, lin_gamma, "alex"))
+
+            trunc = self.pop_eval_truncation()
+            metrics.setdefault("etc/truncated_frac", []).append(
+                trunc if trunc > 0 else None
+            )
+            if trunc > 0:
+                print(f"[eval] image {int(i)}: render TRUNCATED "
+                      f"(overflow {trunc:.4f} at max budget scale)")
             for k, v in imgs.items():
                 renders.setdefault(k, []).append(
                     (np.clip(v, 0, 1) * 255).astype(np.uint8)
